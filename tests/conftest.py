@@ -1,14 +1,22 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on the host platform with 8 virtual devices, exactly as the driver's
-dryrun does."""
+validated on the host platform with 8 virtual devices, exactly as the
+driver's dryrun does.
+
+Note: this image's sitecustomize registers an `axon` remote-TPU PJRT plugin
+and programmatically forces the platform, so setting the JAX_PLATFORMS env
+var is not enough — we must override jax.config after import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
