@@ -72,15 +72,59 @@ def _pad_last(a, before: int, after: int):
     return jnp.pad(a, cfg)
 
 
-def carry_prop(c, out_limbs: int):
-    """Propagate carries over the last axis; input limbs may hold up to
-    32-bit values. Returns canonical 16-bit limbs (uint32 storage). The
-    caller guarantees the value fits in out_limbs limbs."""
-    n = c.shape[-1]
-    if n < out_limbs:
-        c = _pad_last(c, 0, out_limbs - n)
-    elif n > out_limbs:
-        raise ValueError("carry_prop cannot shrink the limb count")
+def _shift_up(x, d: int, fill: int = 0):
+    """Shift limbs toward higher indices by d along the last axis."""
+    shifted = _pad_last(x[..., :-d] if d else x, d, 0)
+    if fill:
+        ones = jnp.ones(x.shape[:-1] + (d,), x.dtype)
+        shifted = jnp.concatenate([ones, x[..., :-d]], axis=-1) if d else x
+    return shifted
+
+
+def _resolve_unit_carries(s):
+    """Exact carry resolution for limbs s <= 2^16 via Kogge-Stone
+    carry-lookahead: generate g = s >> 16 (0/1), propagate p = (s == 0xFFFF),
+    prefix-combined in log2(n) rounds of boolean ops — no sequential chain.
+    Returns (canonical limbs, carry_out_of_top_limb)."""
+    n = s.shape[-1]
+    g = (s >> LIMB_BITS).astype(jnp.uint32)  # 0/1
+    p = (s & MASK) == MASK
+    gk, pk = g, p
+    d = 1
+    while d < n:
+        gl = _shift_up(gk, d)
+        pl = _shift_up(pk.astype(jnp.uint32), d, fill=1) != 0
+        gk = gk | (jnp.where(pk, gl, 0))
+        pk = pk & pl
+        d *= 2
+    cin = _shift_up(gk, 1)  # carry into limb k = combined generate below k
+    out = (s + cin) & MASK
+    carry_out = gk[..., -1]
+    return out, carry_out
+
+
+# Carry/borrow resolution has two interchangeable exact implementations:
+#   * "scan":  lax.scan along the limb axis — a single tiny compiled body.
+#     Fastest on CPU (the test platform), where XLA fuses the loop well.
+#   * "ks":    Kogge-Stone carry-lookahead — log2(n) rounds of whole-array
+#     boolean ops, no sequential chain. The TPU-friendly form (the VPU hates
+#     32-deep dependent loops over tiny vectors).
+# Selected once per process from the active JAX backend; override via
+# SPARTAN_CARRY_IMPL={scan,ks} (tests exercise both).
+import os as _os
+
+
+def _carry_impl() -> str:
+    forced = _os.environ.get("SPARTAN_CARRY_IMPL")
+    if forced in ("scan", "ks"):
+        return forced
+    try:
+        return "scan" if jax.default_backend() == "cpu" else "ks"
+    except Exception:
+        return "ks"
+
+
+def _carry_prop_scan(c):
     cols = jnp.moveaxis(c, -1, 0)
 
     def body(carry, col):
@@ -91,10 +135,30 @@ def carry_prop(c, out_limbs: int):
     return jnp.moveaxis(ys, 0, -1)
 
 
-def _borrow_sub(a, b):
-    """(a - b) limbwise with borrow propagation; returns (diff, underflow)
-    where diff is exact if a >= b (as 16-bit limbs) and underflow is a bool
-    tensor (batch dims) true iff a < b. Inputs canonical, same limb count."""
+def _carry_prop_ks(c):
+    # round 1: fold 32-bit limbs to < 2^17; round 2: to <= 2^16; then exact
+    # lookahead resolution of the remaining 0/1 carries.
+    x = (c & MASK) + _shift_up(c >> LIMB_BITS, 1)
+    s = (x & MASK) + _shift_up(x >> LIMB_BITS, 1)
+    out, _ = _resolve_unit_carries(s)
+    return out
+
+
+def carry_prop(c, out_limbs: int):
+    """Propagate carries over the last axis; input limbs may hold up to
+    32-bit values. Returns canonical 16-bit limbs (uint32 storage). The
+    caller guarantees the value fits in out_limbs limbs."""
+    n = c.shape[-1]
+    if n < out_limbs:
+        c = _pad_last(c, 0, out_limbs - n)
+    elif n > out_limbs:
+        raise ValueError("carry_prop cannot shrink the limb count")
+    if _carry_impl() == "scan":
+        return _carry_prop_scan(c)
+    return _carry_prop_ks(c)
+
+
+def _borrow_sub_scan(a, b):
     cols = jnp.stack([jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)], axis=1)
 
     def body(borrow, ab):
@@ -103,6 +167,29 @@ def _borrow_sub(a, b):
 
     borrow, ys = jax.lax.scan(body, jnp.zeros(a.shape[:-1], jnp.uint32), cols)
     return jnp.moveaxis(ys, 0, -1), borrow == 1
+
+
+def _borrow_sub_ks(a, b):
+    # a + ~b + 1 with carry-lookahead; underflow iff no carry out.
+    u = a + (MASK - b)  # <= 2^17 - 2
+    one = jnp.zeros(u.shape, jnp.uint32).at[..., 0].set(1)
+    u = u + one
+    hi = u >> LIMB_BITS  # 0/1 per limb
+    s = (u & MASK) + _shift_up(hi, 1)  # <= 2^16
+    out, carry = _resolve_unit_carries(s)
+    # total carry out = first-round top carry + lookahead carry (at most one
+    # of them is 1: the exact sum a + ~b + 1 < 2^(16n+1)).
+    carry_out = carry + hi[..., -1]
+    return out, carry_out == 0
+
+
+def _borrow_sub(a, b):
+    """(a - b) limbwise with borrow propagation; returns (diff, underflow)
+    where diff is exact if a >= b (as 16-bit limbs) and underflow is a bool
+    tensor (batch dims) true iff a < b. Inputs canonical, same limb count."""
+    if _carry_impl() == "scan":
+        return _borrow_sub_scan(a, b)
+    return _borrow_sub_ks(a, b)
 
 
 def mul_wide(a, b):

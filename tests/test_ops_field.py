@@ -138,3 +138,27 @@ class TestCurve:
                 curve.tree_reduce(jnp.asarray(curve.encode_points(ps)))[None]
             )[0]
             assert got == acc
+
+
+class TestCarryImplParity:
+    """The TPU path uses Kogge-Stone carry lookahead; CPU uses lax.scan.
+    Both must agree exactly with the host oracle (incl. long carry/borrow
+    ripples: values adjacent to the modulus and to 2^256)."""
+
+    def _fuzz(self):
+        xs = rand_mod(P, 24) + [P - 1, P - 2, 1, 0]
+        ys = rand_mod(P, 24) + [1, P - 1, P - 1, 0]
+        a, b = jnp.asarray(fp.encode(xs)), jnp.asarray(fp.encode(ys))
+        assert fp.decode(fp.mul(a, b)) == [x * y % P for x, y in zip(xs, ys)]
+        assert fp.decode(fp.sub(a, b)) == [(x - y) % P for x, y in zip(xs, ys)]
+        zs = rand_mod(L, 16)
+        c = jnp.asarray(fq.encode(zs))
+        assert fq.decode(fq.mul(c, c)) == [z * z % L for z in zs]
+
+    def test_ks(self, monkeypatch):
+        monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
+        self._fuzz()
+
+    def test_scan(self, monkeypatch):
+        monkeypatch.setenv("SPARTAN_CARRY_IMPL", "scan")
+        self._fuzz()
