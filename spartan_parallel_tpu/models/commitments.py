@@ -1,0 +1,115 @@
+"""Pedersen multi-commitments (reference: src/commitments.rs).
+
+Generators are derived exactly as the reference does (shake256 of
+label || compressed basepoint, read in 64-byte chunks through the ristretto
+one-way map, commitments.rs:15-33) so commitments are bit-compatible.
+
+The commit operation itself is an MSM: tiny commits (sigma protocols,
+unipoly commits — a handful of points) run on the host; bulk commits
+(witness rows, Hyrax openings) run through the device Pippenger engine,
+batched so many rows share one kernel launch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.edwards import RistrettoPoint, multiscalar_mul
+from ..core.field import Scalar
+from ..ops import curve, fq, limbs as lb, msm
+
+# Below this size a host MSM is faster than a device launch.
+_HOST_MSM_MAX = 32
+
+
+class MultiCommitGens:
+    __slots__ = ("n", "G", "h", "_dev")
+
+    def __init__(self, n: int, label: bytes, _raw=None):
+        if _raw is not None:
+            self.n, self.G, self.h = _raw
+        else:
+            shake = hashlib.shake_256()
+            shake.update(label)
+            shake.update(RistrettoPoint.basepoint().compress())
+            stream = shake.digest(64 * (n + 1))
+            gens = [
+                RistrettoPoint.from_uniform_bytes(stream[64 * i : 64 * i + 64])
+                for i in range(n + 1)
+            ]
+            self.n = n
+            self.G = gens[:n]
+            self.h = gens[n]
+        self._dev = None
+
+    def split_at(self, mid: int):
+        return (
+            MultiCommitGens(0, b"", _raw=(mid, self.G[:mid], self.h)),
+            MultiCommitGens(0, b"", _raw=(self.n - mid, self.G[mid:], self.h)),
+        )
+
+    def scale(self, s: Scalar) -> "MultiCommitGens":
+        return MultiCommitGens(
+            0, b"", _raw=(self.n, [g * s for g in self.G], self.h)
+        )
+
+    def device_points(self):
+        """(n+1, 4, 16) device array: G ++ [h]."""
+        if self._dev is None:
+            self._dev = jnp.asarray(curve.encode_points(self.G + [self.h]))
+        return self._dev
+
+
+def _to_int_rows(values) -> np.ndarray:
+    """list[Scalar]/ints or (B, n) object array -> (B, n) object ints."""
+    if isinstance(values, np.ndarray) and values.dtype == object:
+        return values if values.ndim == 2 else values[None]
+    row = np.array([int(v) for v in values], dtype=object)
+    return row[None]
+
+
+def commit(values, blind, gens: MultiCommitGens) -> RistrettoPoint:
+    """<values, G[..len]> + blind*h (commitments.rs:70-91)."""
+    return commit_rows(_to_int_rows(values), [blind], gens)[0]
+
+
+def commit_scalar(x, blind, gens: MultiCommitGens) -> RistrettoPoint:
+    assert gens.n >= 1
+    return gens.G[0] * int(x) + gens.h * int(blind)
+
+
+def commit_rows(rows: np.ndarray, blinds, gens: MultiCommitGens):
+    """Batched commit of B rows sharing generators: returns list of points.
+
+    rows: (B, n) object-int array (canonical scalars); blinds: length-B.
+    """
+    rows = _to_int_rows(rows)
+    b, n = rows.shape
+    assert gens.n >= n
+    scal = np.empty((b, n + 1), dtype=object)
+    scal[:, :n] = rows
+    scal[:, n] = [int(x) for x in blinds]
+    if n + 1 <= _HOST_MSM_MAX:
+        pts = gens.G[:n] + [gens.h]
+        return [multiscalar_mul(list(r), pts) for r in scal]
+    limbs_arr = lb.ints_to_limbs(list(scal.reshape(-1))).reshape(b, n + 1, 16)
+    pts_dev = gens.device_points()
+    idx = list(range(n)) + [gens.n]  # G[:n] ++ [h]
+    return msm.msm(pts_dev[np.array(idx)], limbs_arr)
+
+
+def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
+    """Batched commit of device-resident Montgomery rows (B, n, 16)."""
+    b, n, _ = rows_mont.shape
+    assert gens.n >= n
+    canon = fq.to_canonical(jnp.asarray(rows_mont))
+    blind_limbs = jnp.asarray(
+        lb.ints_to_limbs([int(x) for x in blinds]).reshape(b, 1, 16)
+    )
+    scal = jnp.concatenate([canon, blind_limbs], axis=1)
+    pts_dev = gens.device_points()
+    idx = np.concatenate([np.arange(n), [gens.n]])
+    return msm.msm(pts_dev[idx], scal)

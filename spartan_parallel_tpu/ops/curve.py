@@ -121,3 +121,65 @@ def tree_reduce(points, axis: int = 0):
             pts = point_add(pts[:half], pts[half:])
         n = pts.shape[0]
     return pts[0]
+
+
+# --------------------------------------------------------------------------
+# Uniform-scalar ladders (one host-known scalar, many points)
+# --------------------------------------------------------------------------
+import jax
+
+from ..core.consts import L as _L_MOD
+
+_SCALAR_BITS = 253
+
+
+def _bits_array(k: int):
+    k %= _L_MOD
+    return jnp.asarray(
+        np.array([(k >> i) & 1 for i in range(_SCALAR_BITS)], dtype=np.uint32)
+    )
+
+
+@jax.jit
+def _scale_scan(pts, bits):
+    """bits (253,) uint32 -> sum bits_i * 2^i * P for each point P."""
+    ident = jnp.asarray(identity(pts.shape[:-2]))
+
+    def body(carry, bit):
+        acc, add = carry
+        sel = jnp.broadcast_to(bit > 0, acc.shape[:-2])
+        acc = point_select(sel, point_add(acc, add), acc)
+        return (acc, point_double(add)), None
+
+    (acc, _), _ = jax.lax.scan(body, (ident, pts), bits)
+    return acc
+
+
+@jax.jit
+def _fold_scan(pts_l, pts_r, bits_l, bits_r):
+    """bits_l * P_l + bits_r * P_r batched (the bullet generator fold)."""
+    ident = jnp.asarray(identity(pts_l.shape[:-2]))
+
+    def body(carry, bb):
+        acc, add_l, add_r = carry
+        bl, br = bb
+        acc = point_select(
+            jnp.broadcast_to(bl > 0, acc.shape[:-2]), point_add(acc, add_l), acc
+        )
+        acc = point_select(
+            jnp.broadcast_to(br > 0, acc.shape[:-2]), point_add(acc, add_r), acc
+        )
+        return (acc, point_double(add_l), point_double(add_r)), None
+
+    (acc, _, _), _ = jax.lax.scan(body, (ident, pts_l, pts_r), (bits_l, bits_r))
+    return acc
+
+
+def scale_points(pts_dev, k: int):
+    """k*P for every point in pts_dev (..., 4, 16); k is host-known."""
+    return _scale_scan(pts_dev, _bits_array(k))
+
+
+def fold_points(pts_l, pts_r, k_l: int, k_r: int):
+    """k_l*P_l + k_r*P_r elementwise (one jitted scan per shape)."""
+    return _fold_scan(pts_l, pts_r, _bits_array(k_l), _bits_array(k_r))
