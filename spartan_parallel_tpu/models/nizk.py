@@ -1,0 +1,144 @@
+"""NIZK: single-instance Spartan proof without circuit preprocessing.
+
+Reference: src/lib.rs:3884-4005 (NIZK/NIZKGens — present upstream,
+commented out in the fork because R1CSProof's signature changed; the
+BASELINE configs still require it). Rebuilt here on the fork's
+data-parallel R1CSProof with P = 1, Q = 1 and two witness sections:
+
+  sec 0: vars   (private, committed with blinds)
+  sec 1: [1, inputs, 0...]  (public; the verifier recomputes its
+         commitment deterministically with zero blinds)
+
+so z = [vars | 1, io] matches upstream's layout (lib.rs:3919-3964) and the
+matrix column space spans 2 * num_vars. As in upstream NIZK, the proof
+stores the evaluation point; the verifier evaluates A/B/C itself
+(eval_sparse_polys, lib.rs:3981-3984) and checks the point matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+
+from ..core.field import Scalar
+from ..utils.random_tape import RandomTape
+from ..utils.errors import ProofVerifyError
+from ..utils.timer import Timer
+from .dense_mlpoly import DensePolynomial, log2, scalars_to_mont
+from .r1csproof import (
+    R1CSGens,
+    R1CSProof,
+    ProverWitnessSecInfo,
+    VerifierWitnessSecInfo,
+)
+
+_ZERO = Scalar.zero()
+_ONE = Scalar.one()
+
+
+def instance_digest(inst) -> bytes:
+    """Deterministic digest of the R1CS matrices, standing in for the
+    reference's bincode-serialized instance digest (r1csinstance.rs
+    AppendToTranscript)."""
+    h = hashlib.sha3_256()
+    h.update(b"r1cs_instance")
+    for v in (inst.num_instances, inst.max_num_cons, inst.num_vars):
+        h.update(v.to_bytes(8, "little"))
+    for mats in (inst.A_list, inst.B_list, inst.C_list):
+        for m in mats:
+            h.update(m.rows.tobytes())
+            h.update(m.cols.tobytes())
+            for val in m.vals:
+                h.update(int(val).to_bytes(32, "little"))
+    return h.digest()
+
+
+class NIZKGens:
+    __slots__ = ("gens_r1cs_sat",)
+
+    def __init__(self, num_cons: int, num_vars: int):
+        self.gens_r1cs_sat = R1CSGens(b"gens_r1cs_sat", num_cons, num_vars)
+
+
+def _io_sec(num_vars: int, inputs) -> list:
+    io = [_ONE] + [Scalar(int(v)) for v in inputs]
+    io += [_ZERO] * (num_vars - len(io))
+    return io
+
+
+class NIZK:
+    __slots__ = ("r1cs_sat_proof", "comm_vars", "r")
+
+    def __init__(self, r1cs_sat_proof, comm_vars, r):
+        self.r1cs_sat_proof = r1cs_sat_proof
+        self.comm_vars = comm_vars
+        self.r = r
+
+    @staticmethod
+    def protocol_name() -> bytes:
+        return b"Spartan NIZK proof"
+
+    @staticmethod
+    def prove(inst, vars_, inputs, gens: NIZKGens, transcript):
+        """inst: 1-instance R1CSInstance; vars_: num_vars ints;
+        inputs: < num_vars ints."""
+        timer = Timer("NIZK::prove")
+        assert inst.get_num_instances() == 1
+        num_vars = inst.get_num_vars() // 2  # per-section size
+        assert len(vars_) == num_vars
+        assert len(inputs) < num_vars
+
+        transcript.append_protocol_name(NIZK.protocol_name())
+        transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
+
+        random_tape = RandomTape(b"proof")
+
+        # witness sec 0: private vars. Committed with zero row blinds, as
+        # the fork does for every witness poly (lib.rs:1973 etc. pass None);
+        # hiding comes from the blinded sumcheck/sigma layers.
+        vars_sec = ProverWitnessSecInfo.from_scalars(
+            [num_vars], [[list(map(int, vars_))]])
+        comm_vars, _blinds = vars_sec.poly_w[0].commit(
+            gens.gens_r1cs_sat.gens_pc, None)
+        comm_vars.append_to_transcript(b"poly_commitment", transcript)
+
+        # witness sec 1: public io (deterministic zero-blind commitment)
+        io = _io_sec(num_vars, inputs)
+        io_sec = ProverWitnessSecInfo.from_scalars(
+            [num_vars], [[[int(v) for v in io]]])
+        comm_io, _ = io_sec.poly_w[0].commit(gens.gens_r1cs_sat.gens_pc, None)
+        comm_io.append_to_transcript(b"poly_commitment", transcript)
+
+        proof, r = R1CSProof.prove(
+            1, 1, [1], num_vars, [num_vars], [vars_sec, io_sec], inst,
+            gens.gens_r1cs_sat, transcript, random_tape)
+        timer.stop()
+        return NIZK(proof, comm_vars, r)
+
+    def verify(self, inst, inputs, gens: NIZKGens, transcript):
+        timer = Timer("NIZK::verify")
+        num_vars = inst.get_num_vars() // 2  # per-section size
+        transcript.append_protocol_name(NIZK.protocol_name())
+        transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
+
+        self.comm_vars.append_to_transcript(b"poly_commitment", transcript)
+        io = _io_sec(num_vars, inputs)
+        io_poly = DensePolynomial.from_scalars(io)
+        comm_io, _ = io_poly.commit(gens.gens_r1cs_sat.gens_pc, None)
+        comm_io.append_to_transcript(b"poly_commitment", transcript)
+
+        # evaluate A/B/C at the claimed point (upstream lib.rs:3981-3984)
+        timer_eval = Timer("eval_sparse_polys")
+        _rp, _rq_rev, rx, ry_full = self.r
+        eA, eB, eC = inst.evaluate(rx, ry_full)
+        timer_eval.stop()
+
+        vars_view = VerifierWitnessSecInfo([1], [num_vars], [self.comm_vars])
+        io_view = VerifierWitnessSecInfo([1], [num_vars], [comm_io])
+        r_out = self.r1cs_sat_proof.verify(
+            1, 1, [1], num_vars, [vars_view, io_view], inst.get_num_cons(),
+            gens.gens_r1cs_sat, (eA, eB, eC), transcript)
+        if r_out != self.r:
+            raise ProofVerifyError("NIZK evaluation point mismatch")
+        timer.stop()

@@ -1,0 +1,247 @@
+"""Sumcheck provers/verifiers (reference: src/sumcheck.rs).
+
+`ZKSumcheckInstanceProof` (sumcheck.rs:75) carries one committed round
+polynomial + claim commitment + dot-product proof per round; the verifier
+(sumcheck.rs:94-186) never sees plaintext round polys. The two fork
+provers are the disjoint-rounds variants driving both R1CS sumchecks
+(sumcheck.rs:788, :1067).
+
+TPU split: round-poly evaluations and table binds run as fused device
+kernels over dense zero-padded Montgomery tensors (ops/sumcheck.py); the
+host holds the merlin transcript, the degree-3 UniPoly, and the tiny
+Pedersen/sigma work (5-point MSMs). One device->host sync of 3 field
+elements per round — the irreducible Fiat-Shamir serialization point
+(SURVEY.md §2.3).
+
+`SumcheckInstanceProof` (non-ZK, sumcheck.rs:28) is used by the SPARK
+product layer; its provers live here too.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.edwards import RistrettoPoint, multiscalar_mul
+from ..core.field import Scalar
+from ..ops import sumcheck as sck
+from ..ops.sumcheck import MODE_P, MODE_Q, MODE_W, MODE_X
+from ..utils.errors import ProofVerifyError
+from .commitments import MultiCommitGens, commit_scalar
+from .dense_mlpoly import mont_to_scalar, mont_to_scalars, scalars_to_mont
+from .sigma import DotProductProof
+from .unipoly import CompressedUniPoly, UniPoly
+
+_ZERO = Scalar.zero()
+_ONE = Scalar.one()
+
+
+class SumcheckInstanceProof:
+    """Non-ZK sumcheck: plaintext compressed round polys (sumcheck.rs:28)."""
+
+    __slots__ = ("compressed_polys",)
+
+    def __init__(self, compressed_polys):
+        self.compressed_polys = compressed_polys
+
+    def verify(self, claim: Scalar, num_rounds: int, degree_bound: int,
+               transcript):
+        e = claim
+        r = []
+        assert len(self.compressed_polys) == num_rounds
+        for cp in self.compressed_polys:
+            poly = cp.decompress(e)
+            if poly.degree() != degree_bound:
+                raise ProofVerifyError("sumcheck degree bound")
+            if not (poly.eval_at_zero() + poly.eval_at_one() == e):
+                raise ProofVerifyError("sumcheck round claim")
+            poly.append_to_transcript(b"poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+
+class ZKSumcheckInstanceProof:
+    __slots__ = ("comm_polys", "comm_evals", "proofs")
+
+    def __init__(self, comm_polys, comm_evals, proofs):
+        self.comm_polys = comm_polys
+        self.comm_evals = comm_evals
+        self.proofs = proofs
+
+    # --- verifier (sumcheck.rs:94-186) ------------------------------------
+    def verify(self, comm_claim: bytes, num_rounds: int, degree_bound: int,
+               gens_1: MultiCommitGens, gens_n: MultiCommitGens, transcript):
+        assert gens_n.n == degree_bound + 1
+        assert len(self.comm_polys) == num_rounds
+        assert len(self.comm_evals) == num_rounds
+
+        r = []
+        for i in range(num_rounds):
+            comm_poly = self.comm_polys[i]
+            transcript.append_point(b"comm_poly", comm_poly)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+
+            comm_claim_per_round = comm_claim if i == 0 else \
+                self.comm_evals[i - 1]
+            comm_eval = self.comm_evals[i]
+            transcript.append_point(b"comm_claim_per_round",
+                                    comm_claim_per_round)
+            transcript.append_point(b"comm_eval", comm_eval)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+            comm_target = multiscalar_mul(w, [
+                RistrettoPoint.decompress(comm_claim_per_round),
+                RistrettoPoint.decompress(comm_eval),
+            ]).compress()
+
+            a_sc = [_ONE] * (degree_bound + 1)
+            a_sc[0] = a_sc[0] + _ONE
+            a_eval = [_ONE]
+            for _ in range(degree_bound):
+                a_eval.append(a_eval[-1] * r_i)
+            a = [w[0] * x + w[1] * y for x, y in zip(a_sc, a_eval)]
+
+            self.proofs[i].verify(gens_1, gens_n, transcript, a,
+                                  self.comm_polys[i], comm_target)
+            r.append(r_i)
+        return self.comm_evals[-1], r
+
+    # --- shared per-round ZK tail (sumcheck.rs:973-1048, 1282-1361) -------
+    @staticmethod
+    def _zk_round_tail(poly: UniPoly, r_j: Scalar, j: int,
+                       claim_per_round: Scalar, comm_claim_per_round: bytes,
+                       blind_claim: Scalar, blinds_poly, blinds_evals,
+                       gens_1, gens_n, transcript, random_tape):
+        eval_ = poly.evaluate(r_j)
+        comm_eval = commit_scalar(eval_, blinds_evals[j], gens_1).compress()
+        transcript.append_point(b"comm_claim_per_round", comm_claim_per_round)
+        transcript.append_point(b"comm_eval", comm_eval)
+        w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+        target = w[0] * claim_per_round + w[1] * eval_
+        blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
+        blind = w[0] * blind_sc + w[1] * blinds_evals[j]
+
+        deg = poly.degree()
+        a_sc = [_ONE] * (deg + 1)
+        a_sc[0] = a_sc[0] + _ONE
+        a_eval = [_ONE]
+        for _ in range(deg):
+            a_eval.append(a_eval[-1] * r_j)
+        a = [w[0] * x + w[1] * y for x, y in zip(a_sc, a_eval)]
+
+        proof, _cx, _cy = DotProductProof.prove(
+            gens_1, gens_n, transcript, random_tape, poly.as_vec(),
+            blinds_poly[j], a, target, blind)
+        return proof, eval_, comm_eval
+
+    # --- phase-1 prover (sumcheck.rs:1067-1381) ----------------------------
+    @staticmethod
+    def prove_cubic_with_additive_term_disjoint_rounds(
+            claim: Scalar, blind_claim: Scalar, num_rounds: int,
+            num_rounds_x_max: int, num_rounds_q_max: int, num_rounds_p: int,
+            tp, tq, tx, B, C, D, gens_1: MultiCommitGens,
+            gens_n: MultiCommitGens, transcript, random_tape):
+        """tp/tq/tx: (P,16)/(Q,16)/(X,16) eq tables; B,C,D: (P,Q,X,16)
+        Az/Bz/Cz tensors (bit-reversed q,x). comb = A*(B*C - D)."""
+        assert num_rounds == num_rounds_x_max + num_rounds_q_max + num_rounds_p
+        blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
+
+        claim_per_round = claim
+        comm_claim_per_round = commit_scalar(
+            claim_per_round, blind_claim, gens_1).compress()
+
+        r, comm_polys, comm_evals, proofs = [], [], [], []
+        for j in range(num_rounds):
+            if j < num_rounds_x_max:
+                mode = MODE_X
+            elif j < num_rounds_x_max + num_rounds_q_max:
+                mode = MODE_Q
+            else:
+                mode = MODE_P
+
+            ev = mont_to_scalars(sck.p1_evals(tp, tq, tx, B, C, D, mode))
+            e0, e2, e3 = ev
+            poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
+            comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
+            transcript.append_point(b"comm_poly", comm_poly)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            rm = scalars_to_mont([r_j])[0]
+            tp, tq, tx, B, C, D = sck.p1_bind(tp, tq, tx, B, C, D, rm, mode)
+
+            proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
+                poly, r_j, j, claim_per_round, comm_claim_per_round,
+                blind_claim, blinds_poly, blinds_evals, gens_1, gens_n,
+                transcript, random_tape)
+            proofs.append(proof)
+            claim_per_round = eval_
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        tpv, tqv, txv = (mont_to_scalar(t[0]) for t in (tp, tq, tx))
+        claims = [
+            tpv * tqv * txv,
+            mont_to_scalar(B[0, 0, 0]),
+            mont_to_scalar(C[0, 0, 0]),
+            mont_to_scalar(D[0, 0, 0]),
+        ]
+        return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs), r,
+                claims, blinds_evals[num_rounds - 1])
+
+    # --- phase-2 prover (sumcheck.rs:788-1065) ------------------------------
+    @staticmethod
+    def prove_cubic_disjoint_rounds(
+            claim: Scalar, blind_claim: Scalar, num_rounds: int,
+            num_rounds_y_max: int, num_rounds_w: int, num_rounds_p: int,
+            single_inst: bool, ep, ABC, Z, gens_1: MultiCommitGens,
+            gens_n: MultiCommitGens, transcript, random_tape):
+        """ep: (P,16) eq table; ABC: (P_B,W,Y,16) (P_B may be 1);
+        Z: (P,W,Y,16). comb = A*B*C."""
+        assert num_rounds == num_rounds_y_max + num_rounds_w + num_rounds_p
+        blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
+
+        claim_per_round = claim
+        comm_claim_per_round = commit_scalar(
+            claim_per_round, blind_claim, gens_1).compress()
+
+        r, comm_polys, comm_evals, proofs = [], [], [], []
+        for j in range(num_rounds):
+            if j < num_rounds_y_max:
+                mode = MODE_X
+            elif j < num_rounds_y_max + num_rounds_w:
+                mode = MODE_W
+            else:
+                mode = MODE_P
+
+            ev = mont_to_scalars(sck.p2_evals(ep, ABC, Z, mode, single_inst))
+            e0, e2, e3 = ev
+            poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
+            comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
+            transcript.append_point(b"comm_poly", comm_poly)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            rm = scalars_to_mont([r_j])[0]
+            ep, ABC, Z = sck.p2_bind(ep, ABC, Z, rm, mode, single_inst)
+
+            proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
+                poly, r_j, j, claim_per_round, comm_claim_per_round,
+                blind_claim, blinds_poly, blinds_evals, gens_1, gens_n,
+                transcript, random_tape)
+            proofs.append(proof)
+            claim_per_round = eval_
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        claims = [
+            mont_to_scalar(ep[0]),
+            mont_to_scalar(ABC[0, 0, 0]),
+            mont_to_scalar(Z[0, 0, 0]),
+        ]
+        return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs), r,
+                claims, blinds_evals[num_rounds - 1])

@@ -134,8 +134,18 @@ def sum_reduce(a, axis: int = 0):
 
 
 def _colsum_reduce(a, axis: int):
-    cols = jnp.sum(a, axis=axis, dtype=jnp.uint32)
-    wide = lb.carry_prop(cols, 18)  # value < 2^15 * L < 2^268
+    return resolve_lazy(jnp.sum(a, axis=axis, dtype=jnp.uint32))
+
+
+def resolve_lazy(cols):
+    """Resolve lazily-accumulated Montgomery limbs back to Montgomery form.
+
+    `cols` is an elementwise uint32 sum of up to 2^15 Montgomery-form
+    (..., 16) values (each limb < 2^16, so no overflow); the total value is
+    < 2^15 * L < 2^268. Used after scatter-add accumulations (SpMV) and
+    column sums.
+    """
+    wide = lb.carry_prop(cols, 18)
     # REDC divides by R; multiply by R^2 to restore Montgomery scaling.
     return mul(redc(_widen(wide)), jnp.broadcast_to(
         jnp.asarray(R2_LIMBS, jnp.uint32), cols.shape[:-1] + (16,)

@@ -1,0 +1,174 @@
+"""Device round kernels for the disjoint-rounds sumchecks.
+
+TPU-native replacement for the reference's zero-skipping scalar loops
+(src/sumcheck.rs:788 prove_cubic_disjoint_rounds and :1067
+prove_cubic_with_additive_term_disjoint_rounds). The ragged Pqx tables
+become DENSE zero-padded Montgomery limb tensors: padded entries hold the
+field zero (all-zero limbs), so a plain half-table fold
+
+    T' = lo + r * (hi - lo)
+
+computes exactly what the reference's per-instance skip logic computes
+(invalid regions stay zero, the Q_i == 1 "(1-r)*Z" special case falls out
+of the zero high half), while XLA sees static shapes and fuses the whole
+round into a few elementwise passes + reductions.
+
+Layout: phase-1 tables are (P, Q, X, 16) with q and x axes in bit-reversed
+order (storage index s holds original index rev(s)); phase-2 tables are
+(P, W, Y, 16) with y bit-reversed. eq tables are 1-D per axis and kept
+factored — the product eq_p*eq_q*eq_x is contracted axis-by-axis instead
+of materialized.
+
+Each sumcheck round costs two device calls: `*_evals` (returns the three
+round-poly evaluations) and `*_bind` (folds every table) — the host
+transcript sits between them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import fq
+
+MODE_P = 1
+MODE_Q = 2
+MODE_W = 3
+MODE_X = 4
+
+
+def rev_bits(x: int, size: int) -> int:
+    """Bit-reverse x within log2(size) bits (custom_dense_mlpoly.rs:38-43)."""
+    nbits = size.bit_length() - 1
+    out = 0
+    for i in range(nbits):
+        out = (out << 1) | ((x >> i) & 1)
+    return out
+
+
+def rev_perm(size: int):
+    """Self-inverse permutation p with p[s] = rev_bits(s)."""
+    import numpy as np
+
+    return np.array([rev_bits(i, size) for i in range(size)], dtype=np.int32)
+
+
+def _split(t, axis: int):
+    n = t.shape[axis] // 2
+    return (
+        jax.lax.slice_in_dim(t, 0, n, axis=axis),
+        jax.lax.slice_in_dim(t, n, 2 * n, axis=axis),
+    )
+
+
+def _ext2(lo, hi):
+    """table extrapolated to point 2: 2*hi - lo."""
+    return fq.sub(fq.add(hi, hi), lo)
+
+
+def _ext3(e2, lo, hi):
+    """point 3 from point 2: e2 + (hi - lo)."""
+    return fq.add(e2, fq.sub(hi, lo))
+
+
+def _fold(lo, hi, r):
+    return fq.add(lo, fq.mul(jnp.broadcast_to(r, lo.shape), fq.sub(hi, lo)))
+
+
+# --------------------------------------------------------------------------
+# Phase 1: comb = eq_p(p) eq_q(q) eq_x(x) * (B*C - D); rounds x -> q -> p
+# --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mode",))
+def p1_evals(tp, tq, tx, B, C, D, mode: int):
+    """Round-poly evals (e0, e2, e3) as a (3, 16) Montgomery array."""
+    axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
+    Blo, Bhi = _split(B, axis)
+    Clo, Chi = _split(C, axis)
+    Dlo, Dhi = _split(D, axis)
+    eqs = {0: tp, 1: tq, 2: tx}
+    elo, ehi = _split(eqs[axis], 0)
+
+    def contract(g, eq_fold):
+        eqs_k = dict(eqs)
+        eqs_k[axis] = eq_fold
+        s = fq.dot(g, eqs_k[2][None, None], axis=2)  # (P, Q, 16)
+        s = fq.dot(s, eqs_k[1][None], axis=1)  # (P, 16)
+        return fq.dot(s, eqs_k[0], axis=0)  # (16,)
+
+    def g_of(b, c, d):
+        return fq.sub(fq.mul(b, c), d)
+
+    e0 = contract(g_of(Blo, Clo, Dlo), elo)
+    B2, C2, D2 = _ext2(Blo, Bhi), _ext2(Clo, Chi), _ext2(Dlo, Dhi)
+    t2 = _ext2(elo, ehi)
+    e2 = contract(g_of(B2, C2, D2), t2)
+    B3, C3, D3 = (
+        _ext3(B2, Blo, Bhi),
+        _ext3(C2, Clo, Chi),
+        _ext3(D2, Dlo, Dhi),
+    )
+    t3 = _ext3(t2, elo, ehi)
+    e3 = contract(g_of(B3, C3, D3), t3)
+    return jnp.stack([e0, e2, e3])
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def p1_bind(tp, tq, tx, B, C, D, r, mode: int):
+    axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
+    B = _fold(*_split(B, axis), r)
+    C = _fold(*_split(C, axis), r)
+    D = _fold(*_split(D, axis), r)
+    if mode == MODE_P:
+        tp = _fold(*_split(tp, 0), r)
+    elif mode == MODE_Q:
+        tq = _fold(*_split(tq, 0), r)
+    else:
+        tx = _fold(*_split(tx, 0), r)
+    return tp, tq, tx, B, C, D
+
+
+# --------------------------------------------------------------------------
+# Phase 2: comb = eq_p(p) * ABC(p, w, y) * Z(p, w, y); rounds y -> w -> p
+# ABC may have a single instance (axis 0 length 1) broadcast over p.
+# --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("mode", "single_inst"))
+def p2_evals(ep, ABC, Z, mode: int, single_inst: bool):
+    axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
+    Zlo, Zhi = _split(Z, axis)
+    if mode == MODE_P and single_inst:
+        Alo = Ahi = ABC
+    else:
+        Alo, Ahi = _split(ABC, axis)
+    if mode == MODE_P:
+        elo, ehi = _split(ep, 0)
+    else:
+        elo = ehi = ep
+
+    def contract(a, z, eq_p):
+        m = fq.mul(a, z)  # broadcast over p if ABC single-instance
+        s = fq.sum_reduce(m.reshape(m.shape[0], -1, 16), axis=1)  # (P,16)
+        return fq.dot(s, eq_p, axis=0)
+
+    e0 = contract(Alo, Zlo, elo)
+    A2 = Alo if (mode == MODE_P and single_inst) else _ext2(Alo, Ahi)
+    Z2 = _ext2(Zlo, Zhi)
+    t2 = _ext2(elo, ehi) if mode == MODE_P else elo
+    e2 = contract(A2, Z2, t2)
+    A3 = Alo if (mode == MODE_P and single_inst) else _ext3(A2, Alo, Ahi)
+    Z3 = _ext3(Z2, Zlo, Zhi)
+    t3 = _ext3(t2, elo, ehi) if mode == MODE_P else elo
+    e3 = contract(A3, Z3, t3)
+    return jnp.stack([e0, e2, e3])
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "single_inst"))
+def p2_bind(ep, ABC, Z, r, mode: int, single_inst: bool):
+    axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
+    Z = _fold(*_split(Z, axis), r)
+    if not (mode == MODE_P and single_inst):
+        ABC = _fold(*_split(ABC, axis), r)
+    if mode == MODE_P:
+        ep = _fold(*_split(ep, 0), r)
+    return ep, ABC, Z
