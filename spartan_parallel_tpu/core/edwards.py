@@ -24,7 +24,14 @@ from .consts import (
     SQRT_AD_MINUS_ONE,
     SQRT_M1,
 )
+from .consts import L
 from .field import Scalar
+
+
+def _native():
+    from . import native
+
+    return native.get()
 
 
 def _is_negative(x: int) -> bool:
@@ -80,6 +87,11 @@ class RistrettoPoint:
         by the reference for generator derivation (src/commitments.rs:25).
         """
         assert len(b) == 64
+        lib = _native()
+        if lib is not None:
+            out = bytes(128)
+            lib.pt_from_uniform(bytes(b), out)
+            return RistrettoPoint._unpack(out)
         p1 = _elligator_map(int.from_bytes(b[:32], "little") & ((1 << 255) - 1))
         p2 = _elligator_map(int.from_bytes(b[32:], "little") & ((1 << 255) - 1))
         return p1 + p2
@@ -88,6 +100,12 @@ class RistrettoPoint:
     def decompress(data: bytes) -> "RistrettoPoint":
         """Ristretto DECODE (RFC 9496 section 4.3.1). Raises on invalid."""
         assert len(data) == 32
+        lib = _native()
+        if lib is not None:
+            out = bytes(128)
+            if not lib.pt_decompress(bytes(data), out):
+                raise ValueError("invalid ristretto encoding")
+            return RistrettoPoint._unpack(out)
         s = int.from_bytes(data, "little")
         if s >= P or (s & 1):
             raise ValueError("invalid ristretto encoding (non-canonical)")
@@ -109,6 +127,11 @@ class RistrettoPoint:
     # --- encoding ---------------------------------------------------------
     def compress(self) -> bytes:
         """Ristretto ENCODE (RFC 9496 section 4.3.2) -> 32 bytes."""
+        lib = _native()
+        if lib is not None:
+            out = bytes(32)
+            lib.pt_compress(self._pack(), out)
+            return out
         X, Y, Z, T = self.X, self.Y, self.Z, self.T
         u1 = (Z + Y) * (Z - Y) % P
         u2 = X * Y % P
@@ -129,8 +152,26 @@ class RistrettoPoint:
         s = _ct_abs(den_inv * ((Z - y) % P) % P)
         return s.to_bytes(32, "little")
 
+    # --- native fast path ---------------------------------------------------
+    def _pack(self) -> bytes:
+        return b"".join(v.to_bytes(32, "little")
+                        for v in (self.X, self.Y, self.Z, self.T))
+
+    @staticmethod
+    def _unpack(b: bytes) -> "RistrettoPoint":
+        return RistrettoPoint(
+            int.from_bytes(b[:32], "little"),
+            int.from_bytes(b[32:64], "little"),
+            int.from_bytes(b[64:96], "little"),
+            int.from_bytes(b[96:], "little"))
+
     # --- group law ----------------------------------------------------------
     def __add__(self, o: "RistrettoPoint") -> "RistrettoPoint":
+        lib = _native()
+        if lib is not None:
+            out = bytes(128)
+            lib.pt_add(self._pack(), o._pack(), out)
+            return RistrettoPoint._unpack(out)
         # Unified complete addition, add-2008-hwcd-3 specialized for a = -1.
         A = (self.Y - self.X) * (o.Y - o.X) % P
         B = (self.Y + self.X) * (o.Y + o.X) % P
@@ -143,6 +184,11 @@ class RistrettoPoint:
         return RistrettoPoint(E * F, G * H, F * G, E * H)
 
     def double(self) -> "RistrettoPoint":
+        lib = _native()
+        if lib is not None:
+            out = bytes(128)
+            lib.pt_double(self._pack(), out)
+            return RistrettoPoint._unpack(out)
         A = self.X * self.X % P
         B = self.Y * self.Y % P
         C = 2 * self.Z % P * self.Z % P
@@ -162,6 +208,12 @@ class RistrettoPoint:
     def scalar_mul(self, s) -> "RistrettoPoint":
         """Variable-time double-and-add (host path; device MSM is the bulk op)."""
         k = int(s) if not isinstance(s, Scalar) else s.v
+        lib = _native()
+        if lib is not None:
+            out = bytes(128)
+            lib.pt_scalar_mul(self._pack(), (k % L).to_bytes(32, "little"),
+                              out)
+            return RistrettoPoint._unpack(out)
         acc = RistrettoPoint.identity()
         add = self
         while k:
@@ -223,6 +275,18 @@ def multiscalar_mul(scalars, points) -> RistrettoPoint:
     """Host-side MSM (exact, variable time). Mirrors the reference's
     `VartimeMultiscalarMul` (src/group.rs:89) semantics; the fast path is the
     device Pippenger kernel in ops/msm.py, which is tested against this."""
+    lib = _native()
+    if lib is not None:
+        pts = list(points)
+        ks = [int(s) % L for s in scalars]
+        assert len(ks) == len(pts)
+        if not pts:
+            return RistrettoPoint.identity()
+        pbuf = b"".join(p._pack() for p in pts)
+        sbuf = b"".join(k.to_bytes(32, "little") for k in ks)
+        out = bytes(128)
+        lib.pt_msm(pbuf, sbuf, len(pts), out)
+        return RistrettoPoint._unpack(out)
     acc = RistrettoPoint.identity()
     for s, pt in zip(scalars, points):
         k = int(s) if not isinstance(s, Scalar) else s.v
