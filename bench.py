@@ -24,13 +24,6 @@ def bench_msm(logn: int) -> None:
     import jax
     import numpy as np
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/spartan_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
-
     from spartan_parallel_tpu.core.consts import L
     from spartan_parallel_tpu.core.edwards import RistrettoPoint
     from spartan_parallel_tpu.ops import curve, limbs as lb, msm

@@ -1,0 +1,71 @@
+"""spartan_parallel_tpu — a TPU-native data-parallel Spartan zkSNARK.
+
+Re-implements the full public surface of the reference `libspartan` fork
+(scroll-tech/spartan-parallel, src/lib.rs): SNARK/SNARKGens with the
+9-stage data-parallel pipeline, NIZK/NIZKGens, Instance + circuit
+generators, Assignment types, and the CLI driver — built TPU-first on
+JAX limb-tensor kernels (ops/), a native C host curve layer (native/),
+and multi-chip mesh sharding (parallel/).
+"""
+
+from .core.consts import L
+from .core.field import Scalar
+from .models.instance import (
+    Instance,
+    gen_block_inst,
+    gen_pairwise_check_inst,
+    gen_perm_root_inst,
+)
+from .models.nizk import NIZK, NIZKGens
+from .models.r1csproof import R1CSGens
+from .models.snark import (
+    SNARK,
+    SNARKGens,
+    ComputationCommitment,
+    ComputationDecommitment,
+)
+from .utils.errors import ProofVerifyError, R1CSError
+from .utils.transcript import Transcript
+
+
+class Assignment:
+    """Assignment of field values to inputs/variables (lib.rs:89-151)."""
+
+    __slots__ = ("assignment",)
+
+    def __init__(self, assignment):
+        """assignment: list of ints/Scalars (canonical field values)."""
+        out = []
+        for v in assignment:
+            if isinstance(v, (bytes, bytearray)):
+                x = int.from_bytes(v, "little")
+                if x >= L:
+                    raise R1CSError("invalid scalar encoding")
+            else:
+                x = int(v)
+                if not 0 <= x < L:
+                    raise R1CSError("scalar out of range")
+            out.append(x)
+        self.assignment = out
+
+    def write(self, f):
+        """Text dump, one row per value (lib.rs:123-142)."""
+        for v in self.assignment:
+            b = v.to_bytes(32, "little")
+            size = 32
+            while size > 0 and b[size - 1] == 0:
+                size -= 1
+            f.write(" ".join(str(x) for x in b[:size]) + " \n")
+
+
+VarsAssignment = Assignment
+InputsAssignment = Assignment
+MemsAssignment = Assignment
+
+__all__ = [
+    "SNARK", "SNARKGens", "NIZK", "NIZKGens", "Instance", "R1CSGens",
+    "Assignment", "VarsAssignment", "InputsAssignment", "MemsAssignment",
+    "ComputationCommitment", "ComputationDecommitment", "Scalar",
+    "Transcript", "ProofVerifyError", "R1CSError", "gen_block_inst",
+    "gen_pairwise_check_inst", "gen_perm_root_inst", "L",
+]

@@ -89,9 +89,9 @@ class RistrettoPoint:
         assert len(b) == 64
         lib = _native()
         if lib is not None:
-            out = bytes(128)
+            out = RistrettoPoint._obuf(128)
             lib.pt_from_uniform(bytes(b), out)
-            return RistrettoPoint._unpack(out)
+            return RistrettoPoint._unpack(out.raw)
         p1 = _elligator_map(int.from_bytes(b[:32], "little") & ((1 << 255) - 1))
         p2 = _elligator_map(int.from_bytes(b[32:], "little") & ((1 << 255) - 1))
         return p1 + p2
@@ -102,10 +102,10 @@ class RistrettoPoint:
         assert len(data) == 32
         lib = _native()
         if lib is not None:
-            out = bytes(128)
+            out = RistrettoPoint._obuf(128)
             if not lib.pt_decompress(bytes(data), out):
                 raise ValueError("invalid ristretto encoding")
-            return RistrettoPoint._unpack(out)
+            return RistrettoPoint._unpack(out.raw)
         s = int.from_bytes(data, "little")
         if s >= P or (s & 1):
             raise ValueError("invalid ristretto encoding (non-canonical)")
@@ -129,9 +129,9 @@ class RistrettoPoint:
         """Ristretto ENCODE (RFC 9496 section 4.3.2) -> 32 bytes."""
         lib = _native()
         if lib is not None:
-            out = bytes(32)
+            out = RistrettoPoint._obuf(32)
             lib.pt_compress(self._pack(), out)
-            return out
+            return out.raw
         X, Y, Z, T = self.X, self.Y, self.Z, self.T
         u1 = (Z + Y) * (Z - Y) % P
         u2 = X * Y % P
@@ -153,6 +153,12 @@ class RistrettoPoint:
         return s.to_bytes(32, "little")
 
     # --- native fast path ---------------------------------------------------
+    @staticmethod
+    def _obuf(n: int):
+        import ctypes
+
+        return ctypes.create_string_buffer(n)
+
     def _pack(self) -> bytes:
         return b"".join(v.to_bytes(32, "little")
                         for v in (self.X, self.Y, self.Z, self.T))
@@ -169,9 +175,9 @@ class RistrettoPoint:
     def __add__(self, o: "RistrettoPoint") -> "RistrettoPoint":
         lib = _native()
         if lib is not None:
-            out = bytes(128)
+            out = RistrettoPoint._obuf(128)
             lib.pt_add(self._pack(), o._pack(), out)
-            return RistrettoPoint._unpack(out)
+            return RistrettoPoint._unpack(out.raw)
         # Unified complete addition, add-2008-hwcd-3 specialized for a = -1.
         A = (self.Y - self.X) * (o.Y - o.X) % P
         B = (self.Y + self.X) * (o.Y + o.X) % P
@@ -186,9 +192,9 @@ class RistrettoPoint:
     def double(self) -> "RistrettoPoint":
         lib = _native()
         if lib is not None:
-            out = bytes(128)
+            out = RistrettoPoint._obuf(128)
             lib.pt_double(self._pack(), out)
-            return RistrettoPoint._unpack(out)
+            return RistrettoPoint._unpack(out.raw)
         A = self.X * self.X % P
         B = self.Y * self.Y % P
         C = 2 * self.Z % P * self.Z % P
@@ -210,10 +216,10 @@ class RistrettoPoint:
         k = int(s) if not isinstance(s, Scalar) else s.v
         lib = _native()
         if lib is not None:
-            out = bytes(128)
+            out = RistrettoPoint._obuf(128)
             lib.pt_scalar_mul(self._pack(), (k % L).to_bytes(32, "little"),
                               out)
-            return RistrettoPoint._unpack(out)
+            return RistrettoPoint._unpack(out.raw)
         acc = RistrettoPoint.identity()
         add = self
         while k:
@@ -284,9 +290,9 @@ def multiscalar_mul(scalars, points) -> RistrettoPoint:
             return RistrettoPoint.identity()
         pbuf = b"".join(p._pack() for p in pts)
         sbuf = b"".join(k.to_bytes(32, "little") for k in ks)
-        out = bytes(128)
+        out = RistrettoPoint._obuf(128)
         lib.pt_msm(pbuf, sbuf, len(pts), out)
-        return RistrettoPoint._unpack(out)
+        return RistrettoPoint._unpack(out.raw)
     acc = RistrettoPoint.identity()
     for s, pt in zip(scalars, points):
         k = int(s) if not isinstance(s, Scalar) else s.v

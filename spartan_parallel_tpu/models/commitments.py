@@ -21,8 +21,12 @@ from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
 from ..ops import curve, fq, limbs as lb, msm
 
-# Below this size a host MSM is faster than a device launch.
-_HOST_MSM_MAX = 32
+import os
+
+# Below this point count the native host Straus MSM beats a device launch
+# (and avoids per-shape jit compiles); the device Pippenger engine takes
+# over for bulk commitments. Tunable for benchmarks via env.
+_HOST_MSM_MAX = int(os.environ.get("SPARTAN_HOST_MSM_MAX", "8192"))
 
 
 class MultiCommitGens:
@@ -105,6 +109,18 @@ def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
     """Batched commit of device-resident Montgomery rows (B, n, 16)."""
     b, n, _ = rows_mont.shape
     assert gens.n >= n
+    if n + 1 <= _HOST_MSM_MAX:
+        import jax
+
+        # fq.decode expects Montgomery limbs and applies R^-1 itself
+        vals = fq.decode(np.asarray(
+            jax.device_get(jnp.asarray(rows_mont))).reshape(-1, 16))
+        pts = gens.G[:n] + [gens.h]
+        out = []
+        for i in range(b):
+            row = vals[i * n : (i + 1) * n] + [int(blinds[i])]
+            out.append(multiscalar_mul(row, pts))
+        return out
     canon = fq.to_canonical(jnp.asarray(rows_mont))
     blind_limbs = jnp.asarray(
         lb.ints_to_limbs([int(x) for x in blinds]).reshape(b, 1, 16)

@@ -85,6 +85,29 @@ class Instance:
         _r1cs_sort(self.inst, num_instances, index)
         self.digest = _digest(self.inst)
 
+    def is_sat(self, vars_mat, inputs_mat) -> bool:
+        """Witness-checking oracle (instance.rs:1485-1517): Az o Bz == Cz
+        with z = [vars | 1, inputs, 0...] per (instance, proof)."""
+        inst = self.inst
+        half = inst.num_vars // 2
+        for p in range(inst.get_num_instances()):
+            A = inst.A_list[p]
+            B = inst.B_list[p]
+            C = inst.C_list[p]
+            for q in range(len(vars_mat[p])):
+                z = [int(v) % L for v in vars_mat[p][q]]
+                z += [0] * (half - len(z))
+                z += [1] + [int(v) % L for v in inputs_mat[p][q]]
+                z += [0] * (inst.num_vars - len(z))
+                az, bz, cz = {}, {}, {}
+                for m, acc in ((A, az), (B, bz), (C, cz)):
+                    for r_, c_, v_ in zip(m.rows, m.cols, m.vals):
+                        acc[r_] = (acc.get(r_, 0) + v_ * z[c_]) % L
+                for r_ in range(inst.get_num_cons()):
+                    if az.get(r_, 0) * bz.get(r_, 0) % L != cz.get(r_, 0):
+                        return False
+        return True
+
 
 def _neg(v: int) -> int:
     return (-v) % L

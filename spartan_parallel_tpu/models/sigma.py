@@ -236,14 +236,22 @@ class BulletReductionProof:
     @staticmethod
     def prove(transcript, Q: RistrettoPoint, G_list, H: RistrettoPoint,
               a_vec, b_vec, blind: Scalar, blinds_vec):
+        import os
+
         n = len(G_list)
         assert n & (n - 1) == 0
         lg_n = _log2(n)
         assert len(blinds_vec) == 2 * lg_n
         a = np.array([int(x) for x in a_vec], dtype=object)
         b = np.array([int(x) for x in b_vec], dtype=object)
-        G_dev = jnp.asarray(curve.encode_points(list(G_list))) if n > 1 else None
-        QH_dev = jnp.asarray(curve.encode_points([Q, H]))
+        # small reductions run fully on the host (native C curve ops) —
+        # the device ladder costs a per-shape compile each round
+        host = n <= int(os.environ.get("SPARTAN_BULLET_HOST_MAX", "256"))
+        G_host = list(G_list)
+        G_dev = None
+        if not host and n > 1:
+            G_dev = jnp.asarray(curve.encode_points(G_host))
+        QH_dev = None if host else jnp.asarray(curve.encode_points([Q, H]))
         L_vec, R_vec = [], []
         blind_fin = int(blind)
         blind_iter = iter(blinds_vec)
@@ -254,24 +262,37 @@ class BulletReductionProof:
             c_L = int(_dot(aL, bR))
             c_R = int(_dot(aR, bL))
             blind_L, blind_R = next(blind_iter)
-            GL_dev, GR_dev = G_dev[:n], G_dev[n:]
-            L = _msm_with_qh(aL, c_L, blind_L, GR_dev, QH_dev)
-            R = _msm_with_qh(aR, c_R, blind_R, GL_dev, QH_dev)
+            if host:
+                GL, GR = G_host[:n], G_host[n:]
+                L = multiscalar_mul(
+                    list(aL) + [c_L, int(blind_L)], GR + [Q, H])
+                R = multiscalar_mul(
+                    list(aR) + [c_R, int(blind_R)], GL + [Q, H])
+            else:
+                GL_dev, GR_dev = G_dev[:n], G_dev[n:]
+                L = _msm_with_qh(aL, c_L, blind_L, GR_dev, QH_dev)
+                R = _msm_with_qh(aR, c_R, blind_R, GL_dev, QH_dev)
             transcript.append_point(b"L", L)
             transcript.append_point(b"R", R)
             u = transcript.challenge_scalar(b"u")
             u_inv = u.invert()
             a = (int(u) * aL + int(u_inv) * aR) % L_MOD
             b = (int(u_inv) * bL + int(u) * bR) % L_MOD
-            G_dev = curve.fold_points(GL_dev, GR_dev, int(u_inv), int(u))
+            if host:
+                G_host = [gl * u_inv + gr * u for gl, gr in zip(GL, GR)]
+            else:
+                G_dev = curve.fold_points(GL_dev, GR_dev, int(u_inv), int(u))
+                if n <= 32:
+                    # finish the tail on the host
+                    G_host = curve.decode_points(np.asarray(G_dev))
+                    G_dev = None
+                    host = True
             blind_fin = (
                 blind_fin + int(blind_L) * int(u) ** 2 + int(blind_R) * int(u_inv) ** 2
             ) % L_MOD
             L_vec.append(L.compress())
             R_vec.append(R.compress())
-        G_final = (
-            G_list[0] if G_dev is None else curve.decode_points(np.asarray(G_dev))[0]
-        )
+        G_final = G_host[0]
         a0, b0 = Scalar(int(a[0])), Scalar(int(b[0]))
         Gamma_hat = G_final * a0 + Q * (a0 * b0) + H * blind_fin
         return (

@@ -37,8 +37,10 @@ def _fold(t):
     h38 = lb.mul_small(hi, 38, 17)  # < 38 * 2^256 < 2^262
     x = lb.add_limbs(lo, h38, 17)  # < 2^256 + 2^262 < 2^263
     # second fold: hi part is x[..., 16] < 2^(263-256) = 2^7
-    h2 = x[..., 16] * jnp.uint32(38)  # < 2^13
-    cols = x[..., :16].at[..., 0].add(h2)
+    h2 = x[..., 16:17] * jnp.uint32(38)  # < 2^13
+    # add h2 at limb 0 (pad instead of .at[]: pallas-lowerable)
+    pad_cfg = [(0, 0)] * (h2.ndim - 1) + [(0, 15)]
+    cols = x[..., :16] + jnp.pad(h2, pad_cfg)
     y = lb.carry_prop(cols, 17)  # value < 2^256 + 2^13
     # canonicalize: subtract 2P then P conditionally (2P = 2^256 - 38)
     y = lb.cond_sub(y, P2_LIMBS)

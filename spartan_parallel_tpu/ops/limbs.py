@@ -26,7 +26,7 @@ import numpy as np
 
 NLIMBS = 16
 LIMB_BITS = 16
-MASK = jnp.uint32(0xFFFF)
+MASK = 0xFFFF  # python int: inline literal, pallas-kernel safe
 
 
 # --------------------------------------------------------------------------
@@ -99,7 +99,7 @@ def _resolve_unit_carries(s):
         d *= 2
     cin = _shift_up(gk, 1)  # carry into limb k = combined generate below k
     out = (s + cin) & MASK
-    carry_out = gk[..., -1]
+    carry_out = gk[..., gk.shape[-1] - 1]
     return out, carry_out
 
 
@@ -118,6 +118,10 @@ def _carry_impl() -> str:
     forced = _os.environ.get("SPARTAN_CARRY_IMPL")
     if forced in ("scan", "ks"):
         return forced
+    # scan on CPU (ks's unrolled graphs take minutes in the XLA:CPU
+    # optimizer; note scan once triggered an XLA:CPU compiler segfault on a
+    # very large fused pipeline graph — run such paths eagerly instead);
+    # ks on TPU (VPU-friendly, and the only form that lowers in Pallas).
     try:
         return "scan" if jax.default_backend() == "cpu" else "ks"
     except Exception:
@@ -172,14 +176,16 @@ def _borrow_sub_scan(a, b):
 def _borrow_sub_ks(a, b):
     # a + ~b + 1 with carry-lookahead; underflow iff no carry out.
     u = a + (MASK - b)  # <= 2^17 - 2
-    one = jnp.zeros(u.shape, jnp.uint32).at[..., 0].set(1)
+    # add 1 at limb 0 (expressed with pad, not .at[]: pallas-lowerable)
+    one = _pad_last(jnp.ones(u.shape[:-1] + (1,), jnp.uint32), 0,
+                    u.shape[-1] - 1)
     u = u + one
     hi = u >> LIMB_BITS  # 0/1 per limb
     s = (u & MASK) + _shift_up(hi, 1)  # <= 2^16
     out, carry = _resolve_unit_carries(s)
     # total carry out = first-round top carry + lookahead carry (at most one
     # of them is 1: the exact sum a + ~b + 1 < 2^(16n+1)).
-    carry_out = carry + hi[..., -1]
+    carry_out = carry + hi[..., hi.shape[-1] - 1]
     return out, carry_out == 0
 
 

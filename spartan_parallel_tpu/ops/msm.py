@@ -58,8 +58,11 @@ def _segmented_point_scan(pts, starts):
 
 
 def _window_sum(keys, points, identity_row):
-    """One window, one MSM row: keys (N,), points (N,4,16) -> (4,16)."""
-    n = keys.shape[0]
+    """One window, one MSM row: keys (N,), points (N,4,16) -> (4,16).
+
+    Every stage is log-depth: sort -> work-efficient segmented scan ->
+    suffix scan over buckets -> tree reduce. No data-dependent or
+    255-step sequential tails (those starve the VPU)."""
     order = jnp.argsort(keys)
     ks = keys[order]
     ps = points[order]
@@ -69,18 +72,11 @@ def _window_sum(keys, points, identity_row):
     # scatter segment totals into their buckets; non-ends dropped
     idx = jnp.where(ends, ks, NUM_BUCKETS)
     buckets = identity_row.at[idx].set(scanned, mode="drop")[:NUM_BUCKETS]
-    # weighted sum over buckets v=1..255: suffix accumulation
-    def body(carry, bucket):
-        running, total = carry
-        running = curve.point_add(running, bucket)
-        total = curve.point_add(total, running)
-        return (running, total), None
-
-    ident = identity_row[0]
-    (_, total), _ = jax.lax.scan(
-        body, (ident, ident), buckets[1:][::-1]
-    )
-    return total
+    # weighted sum over buckets: sum_v v * B_v = sum_v S_v with
+    # S_v = sum_{u >= v} B_u — a reversed inclusive scan + tree reduce.
+    suffix = jax.lax.associative_scan(
+        curve.point_add, buckets[1:], axis=0, reverse=True)
+    return curve.tree_reduce(suffix, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=())

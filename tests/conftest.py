@@ -21,8 +21,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the field-kernel shapes are stable across
-# test runs, and CPU compiles dominate wall time otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/spartan_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: do NOT enable the persistent compilation cache here. XLA:CPU AOT
+# entries record compile-machine features (+prefer-no-gather etc.) that can
+# mismatch the execution machine and crash with SIGILL on reload.

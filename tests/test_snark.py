@@ -7,10 +7,19 @@ examples/interface.rs): a tiny "counter" program with two blocks
 executed for 4 steps (0 -> 1 -> 0 -> 1 -> exit), no memory ops.
 """
 
+import jax
 import numpy as np
 import pytest
 
 from spartan_parallel_tpu.core.consts import L
+
+
+@pytest.fixture(autouse=True)
+def _eager():
+    """The 9-stage pipeline at test sizes touches hundreds of distinct jit
+    shapes; compiling them all dwarfs the actual math. Run eagerly."""
+    with jax.disable_jit():
+        yield
 from spartan_parallel_tpu.models.instance import (
     gen_block_inst,
     gen_pairwise_check_inst,
