@@ -15,9 +15,12 @@ from spartan_parallel_tpu.core.consts import L
 
 
 @pytest.fixture(autouse=True)
-def _eager():
+def _eager(monkeypatch):
     """The 9-stage pipeline at test sizes touches hundreds of distinct jit
-    shapes; compiling them all dwarfs the actual math. Run eagerly."""
+    shapes; compiling them all dwarfs the actual math. Run eagerly, with
+    the Kogge-Stone carry (the scan carry dispatches a python-level loop
+    per limb op when jit is disabled)."""
+    monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
     with jax.disable_jit():
         yield
 from spartan_parallel_tpu.models.instance import (
