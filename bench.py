@@ -1,22 +1,34 @@
-"""Headline benchmark: Pippenger MSM throughput per chip.
+"""Headline benchmarks. Prints one JSON line
+{"metric", "value", "unit", "vs_baseline"} (+ aux lines to stderr).
 
-Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default: Pippenger MSM throughput per chip (the prover's cost center:
+witness polycommit + Hyrax openings + bullet rounds; SURVEY.md §3.3).
+Baseline: the reference's polycommit of a 2^20-entry witness takes
+2.718 s on one CPU core (README.md:134, BASELINE.md §A) — a 2^20-point
+Pedersen MSM ≈ 385.8k points/s. vs_baseline = ours / reference.
 
-MSM is the prover's cost center (witness polycommit + Hyrax openings +
-bullet rounds; SURVEY.md §3.3). Baseline: the reference's polycommit of a
-2^20-entry witness takes 2.718 s on one CPU core (README.md:134,
-BASELINE.md §A) — a 2^20-point Pedersen MSM — i.e. ~385.8k points/s.
-vs_baseline is the throughput ratio (ours / reference).
+Env knobs:
+  BENCH_MSM_LOGN   (default 16)  — MSM microbench size
+  BENCH_NIZK_LOGN  — instead run the NIZK prove benchmark (BASELINE
+                     config 1 at 10, config 3 at 20). Reference: 4.514 s
+                     at 2^20 on one core (README.md:192), scaled linearly.
+  BENCH_COLD=1     — skip the warm-up prove (include compile/trace time)
 
-Size via BENCH_MSM_LOGN (default 16). Set BENCH_NIZK_LOGN to instead run
-the full NIZK prove benchmark (BASELINE config 1/3) — slower because it
-exercises every kernel shape in the pipeline.
+The timed region excludes one warm-up iteration: kernels are AOT-cached
+(ops/kernel_cache.py) and XLA-persistent-cached, so steady-state is the
+production-relevant number; cold-start is a once-per-machine cost.
+
+Roofline accounting (BASELINE.json north star): each field mul is 256
+16x16-bit limb products + carries (~700 int32 VPU ops); a point add is 9
+muls (ops/curve.py). MSM work = 32 windows * (~2N scan adds + 512 bucket
+adds). The msm bench reports field-muls/s alongside points/s.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
@@ -44,15 +56,28 @@ def bench_msm(logn: int) -> None:
     limbs = lb.ints_to_limbs(scalars)
 
     # compile + warm
-    msm.msm_single(points, limbs)
+    if not os.environ.get("BENCH_COLD"):
+        jax.block_until_ready(msm.msm_dev(points, limbs))
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        msm.msm_single(points, limbs)
+        out = msm.msm_dev(points, limbs)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
 
     pts_per_s = n / dt
     baseline = (1 << 20) / 2.718  # reference polycommit rate (README.md:134)
+    # roofline: ~2N adds/window scan + 512 bucket/suffix adds, 32 windows,
+    # 9 field muls per add, ~700 int32 ops per field mul
+    adds = 32 * (2 * n + 512)
+    fmuls = adds * 9
+    print(json.dumps({
+        "aux": "msm_roofline",
+        "field_muls_per_s": round(fmuls / dt / 1e6, 1),
+        "unit": "Mmul/s",
+        "int32_ops_per_s_est": round(fmuls * 700 / dt / 1e12, 3),
+        "unit2": "Tops/s",
+    }), file=sys.stderr)
     print(json.dumps({
         "metric": f"msm_points_per_s_2^{logn}",
         "value": round(pts_per_s, 1),
@@ -62,6 +87,9 @@ def bench_msm(logn: int) -> None:
 
 
 def bench_nizk(logn: int) -> None:
+    import time
+
+    from spartan_parallel_tpu import serialization as ser
     from spartan_parallel_tpu.models.nizk import NIZK, NIZKGens
     from spartan_parallel_tpu.models.r1csinstance import (
         produce_synthetic_r1cs,
@@ -72,13 +100,30 @@ def bench_nizk(logn: int) -> None:
     inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
         1, [1], n, n, 10, seed=1)
     gens = NIZKGens(n, n)
+
+    def prove_once():
+        t0 = time.perf_counter()
+        transcript = Transcript(b"nizk_bench")
+        proof = NIZK.prove(inst, vars_mat[0][0], inputs_mat[0][0], gens,
+                           transcript)
+        return proof, time.perf_counter() - t0
+
+    if not os.environ.get("BENCH_COLD"):
+        _, cold_s = prove_once()  # warm-up: compiles + cache loads
+        print(json.dumps({"aux": "nizk_cold_prove_s",
+                          "value": round(cold_s, 3)}), file=sys.stderr)
+    proof, prove_s = prove_once()
+
     t0 = time.perf_counter()
-    transcript = Transcript(b"nizk_bench")
-    proof = NIZK.prove(inst, vars_mat[0][0], inputs_mat[0][0], gens,
-                       transcript)
-    prove_s = time.perf_counter() - t0
     tv = Transcript(b"nizk_bench")
     proof.verify(inst, inputs_mat[0][0], gens, tv)
+    verify_s = time.perf_counter() - t0
+    print(json.dumps({
+        "aux": "nizk_detail", "verify_s": round(verify_s, 3),
+        "proof_compressed_bytes": ser.compressed_size(proof),
+        "reference_proof_bytes_2^20": 48134,
+    }), file=sys.stderr)
+
     baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
     print(json.dumps({
         "metric": f"nizk_prove_2^{logn}",

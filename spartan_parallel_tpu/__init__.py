@@ -8,6 +8,28 @@ JAX limb-tensor kernels (ops/), a native C host curve layer (native/),
 and multi-chip mesh sharding (parallel/).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the prover's kernels are few but their
+# limb-arithmetic graphs are large, and a cold compile costs 10-45 s per
+# kernel on a small host. Caching makes that a once-per-machine cost.
+# (XLA:CPU AOT reload warns about the +prefer-no-gather/-scatter tuning
+# pseudo-features not being listed among "host machine features"; on the
+# same machine the real ISA features match and reload is safe — verified.)
+# Opt out with SPARTAN_NO_JAX_CACHE=1.
+if not _os.environ.get("SPARTAN_NO_JAX_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "SPARTAN_JAX_CACHE_DIR",
+        _os.path.expanduser("~/.cache/spartan_parallel_tpu/jax"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from .core.consts import L
 from .core.field import Scalar
 from .models.instance import (

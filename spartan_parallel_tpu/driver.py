@@ -65,6 +65,41 @@ class _Reader:
         return int.from_bytes(self.bytes32(), "little") * _R_INV % L
 
 
+class _Writer:
+    """bincode 1.x encoder (exact inverse of _Reader): little-endian u64
+    lengths, raw [u8;32], u8 bools (interface.rs:74-80, 223-229)."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts = []
+
+    def u64(self, v: int):
+        self.parts.append(struct.pack("<Q", v))
+
+    def u8(self, v: int):
+        self.parts.append(bytes([v & 0xFF]))
+
+    def bytes32(self, b: bytes):
+        assert len(b) == 32
+        self.parts.append(b)
+
+    def vec(self, items, write_item):
+        self.u64(len(items))
+        for it in items:
+            write_item(it)
+
+    def scalar_bytes_int(self, v: int):
+        self.bytes32(int(v % L).to_bytes(32, "little"))
+
+    def scalar_montgomery(self, v: int):
+        """canonical int -> raw Montgomery limbs (ristretto255.rs:199)."""
+        self.bytes32((int(v) % L * (1 << 256) % L).to_bytes(32, "little"))
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
 class CompileTimeKnowledge:
     FIELDS = ("block_num_instances", "num_vars", "num_inputs_unpadded",
               "num_vars_per_block", "block_num_phy_ops",
@@ -102,6 +137,33 @@ class CompileTimeKnowledge:
             output_offset=r.u64(),
             output_block_num=r.u64(),
         )
+
+    def serialize(self) -> bytes:
+        w = _Writer()
+
+        def term(t):
+            w.u64(t[0])
+            w.scalar_bytes_int(t[1])
+
+        def constr(c):
+            for side in c:
+                w.vec(side, term)
+
+        w.u64(self.block_num_instances)
+        w.u64(self.num_vars)
+        w.u64(self.num_inputs_unpadded)
+        w.vec(self.num_vars_per_block, w.u64)
+        w.vec(self.block_num_phy_ops, w.u64)
+        w.vec(self.block_num_vir_ops, w.u64)
+        w.u64(self.max_ts_width)
+        w.vec(self.args, lambda blk: w.vec(blk, constr))
+        w.vec(self.input_liveness, lambda b: w.u8(1 if b else 0))
+        w.u64(self.func_input_width)
+        w.u64(self.input_offset)
+        w.u64(self.input_block_num)
+        w.u64(self.output_offset)
+        w.u64(self.output_block_num)
+        return w.getvalue()
 
     @staticmethod
     def from_file(path: str) -> "CompileTimeKnowledge":
@@ -151,6 +213,33 @@ class RunTimeKnowledge:
             output=r.scalar_bytes_int(),
             output_exec_num=r.u64(),
         )
+
+    def serialize(self) -> bytes:
+        w = _Writer()
+
+        def assignment(a):
+            w.vec(a, w.scalar_montgomery)
+
+        w.u64(self.block_max_num_proofs)
+        w.vec(self.block_num_proofs, w.u64)
+        w.u64(self.consis_num_proofs)
+        w.u64(self.total_num_init_phy_mem_accesses)
+        w.u64(self.total_num_init_vir_mem_accesses)
+        w.u64(self.total_num_phy_mem_accesses)
+        w.u64(self.total_num_vir_mem_accesses)
+        w.vec(self.block_vars_matrix, lambda blk: w.vec(blk, assignment))
+        w.vec(self.exec_inputs, assignment)
+        w.vec(self.init_phy_mems_list, assignment)
+        w.vec(self.init_vir_mems_list, assignment)
+        w.vec(self.addr_phy_mems_list, assignment)
+        w.vec(self.addr_vir_mems_list, assignment)
+        w.vec(self.addr_ts_bits_list, assignment)
+        w.vec(self.input, w.scalar_bytes_int)
+        w.vec(self.input_stack, w.scalar_bytes_int)
+        w.vec(self.input_mem, w.scalar_bytes_int)
+        w.scalar_bytes_int(self.output)
+        w.u64(self.output_exec_num)
+        return w.getvalue()
 
     @staticmethod
     def from_file(path: str) -> "RunTimeKnowledge":

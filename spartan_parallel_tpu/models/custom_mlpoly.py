@@ -25,7 +25,16 @@ import numpy as np
 
 from ..core.field import Scalar
 from ..ops import fq
-from ..ops.sumcheck import MODE_P, MODE_Q, MODE_W, MODE_X, _fold, _split, rev_perm
+from ..ops.sumcheck import (
+    MODE_P,
+    MODE_Q,
+    MODE_W,
+    MODE_X,
+    _fold,
+    _split,
+    fold_chain,
+    rev_perm,
+)
 from .dense_mlpoly import (
     DensePolynomial,
     log2,
@@ -110,30 +119,35 @@ class DensePolynomialPqx:
             self.num_inputs) else 1
         return mont_to_scalar(self.Zm[p, q_rev * step_q, w, x_rev * step_x])
 
-    def bound_poly(self, r: Scalar, mode: int) -> None:
+    def _bound_vars(self, rs, mode: int) -> None:
+        """Bind a list of variables along one axis as ONE device program
+        (ops/sumcheck.py fold_chain), then compact with a static slice."""
+        if not rs:
+            return
         axis = _AXIS[mode]
-        rm = scalars_to_mont([r])[0]
-        self.Zm = _fold(*_split(self.Zm, axis), rm)
+        k = len(rs)
+        full = fold_chain(self.Zm, scalars_to_mont(rs), axis=axis)
+        keep = max(1, self.Zm.shape[axis] >> k)
+        self.Zm = jax.lax.slice_in_dim(full, 0, keep, axis=axis)
         if mode == MODE_Q:
-            self.num_proofs = [max(1, q // 2) for q in self.num_proofs]
+            self.num_proofs = [max(1, q >> k) for q in self.num_proofs]
         elif mode == MODE_X:
-            self.num_inputs = [max(1, x // 2) for x in self.num_inputs]
+            self.num_inputs = [max(1, x >> k) for x in self.num_inputs]
+
+    def bound_poly(self, r: Scalar, mode: int) -> None:
+        self._bound_vars([r], mode)
 
     def bound_poly_vars_rp(self, r_p) -> None:
-        for r in r_p:
-            self.bound_poly(r, MODE_P)
+        self._bound_vars(list(r_p), MODE_P)
 
     def bound_poly_vars_rq(self, r_q) -> None:
-        for r in r_q:
-            self.bound_poly(r, MODE_Q)
+        self._bound_vars(list(r_q), MODE_Q)
 
     def bound_poly_vars_rw(self, r_w) -> None:
-        for r in r_w:
-            self.bound_poly(r, MODE_W)
+        self._bound_vars(list(r_w), MODE_W)
 
     def bound_poly_vars_rx(self, r_x) -> None:
-        for r in r_x:
-            self.bound_poly(r, MODE_X)
+        self._bound_vars(list(r_x), MODE_X)
 
     def evaluate(self, r_p, r_q, r_w, r_x) -> Scalar:
         cl = DensePolynomialPqx(self.Zm, self.num_proofs, self.num_inputs)

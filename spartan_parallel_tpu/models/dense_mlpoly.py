@@ -28,6 +28,7 @@ import numpy as np
 from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
 from ..ops import fq, limbs as lb, msm
+from ..ops.kernel_cache import cached_kernel
 from ..utils.errors import ProofVerifyError
 from .commitments import MultiCommitGens, commit_rows_device
 from .sigma import DotProductProofGens, DotProductProofLog
@@ -66,7 +67,7 @@ def mont_to_scalar(a) -> Scalar:
 # --------------------------------------------------------------------------
 # Eq / identity polynomials
 # --------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("ell",))
+@cached_kernel(static_argnames=("ell",))
 def _eq_evals_dev(r_mont, ell: int):
     """(ell, 16) Montgomery challenges -> (2^ell, 16) eq table.
 
@@ -99,7 +100,7 @@ class EqPolynomial:
         """(2^ell, 16) Montgomery device table."""
         if not self.r:
             return jnp.asarray(fq.ONE_MONT, jnp.uint32)[None]
-        return _eq_evals_dev(scalars_to_mont(self.r), len(self.r))
+        return _eq_evals_dev(scalars_to_mont(self.r), ell=len(self.r))
 
     def evals(self) -> list:
         """Host list of Scalar (use only for small ell)."""
@@ -142,27 +143,27 @@ class IdentityPolynomial:
 # --------------------------------------------------------------------------
 # Device fold / bound kernels
 # --------------------------------------------------------------------------
-@jax.jit
+@cached_kernel()
 def _bound_top(tab, r_mont):
     n = tab.shape[0] // 2
     lo, hi = tab[:n], tab[n:]
     return fq.add(lo, fq.mul(jnp.broadcast_to(r_mont, lo.shape), fq.sub(hi, lo)))
 
 
-@jax.jit
+@cached_kernel()
 def _bound_bot(tab, r_mont):
     pairs = tab.reshape(-1, 2, 16)
     lo, hi = pairs[:, 0], pairs[:, 1]
     return fq.add(lo, fq.mul(jnp.broadcast_to(r_mont, lo.shape), fq.sub(hi, lo)))
 
 
-@jax.jit
+@cached_kernel()
 def _bound_L(z2d, L_tab):
     """(Ls, Rs, 16), (Ls, 16) -> (Rs, 16): LZ_i = sum_j L_j Z[j, i]."""
     return fq.dot(z2d, L_tab[:, None], axis=0)
 
 
-@jax.jit
+@cached_kernel()
 def _dot_dev(a, b):
     return fq.dot(a, b, axis=0)
 

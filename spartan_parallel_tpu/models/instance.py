@@ -6,14 +6,11 @@ gen_block_inst :253, gen_pairwise_check_inst :740, gen_perm_root_inst
 :1088. Constraint values are exact field integers; construction is pure
 host work (the matrices are tiny relative to the witnesses).
 
-The instance digest uses SHA3-256 over a canonical encoding instead of the
-reference's zlib(bincode) bytes (r1csinstance.rs:717-722) — it only needs
-to be deterministic and collision-resistant for Fiat-Shamir.
+The instance digest is the reference's zlib(bincode(R1CSInstance)) byte
+layout (r1csinstance.rs:218-222), implemented by R1CSInstance.get_digest.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 from ..core.consts import L
 from ..utils.errors import R1CSError
@@ -22,19 +19,7 @@ from .r1csinstance import R1CSInstance
 
 
 def _digest(inst: R1CSInstance) -> bytes:
-    h = hashlib.sha3_256()
-    h.update(b"r1cs_instance")
-    for v in (inst.num_instances, inst.max_num_cons, inst.num_vars):
-        h.update(v.to_bytes(8, "little"))
-    for c in inst.num_cons:
-        h.update(c.to_bytes(8, "little"))
-    for mats in (inst.A_list, inst.B_list, inst.C_list):
-        for m in mats:
-            h.update(m.rows.tobytes())
-            h.update(m.cols.tobytes())
-            for val in m.vals:
-                h.update(int(val).to_bytes(32, "little"))
-    return h.digest()
+    return inst.get_digest()
 
 
 def _r1cs_sort(inst: R1CSInstance, num_instances: int, index) -> None:

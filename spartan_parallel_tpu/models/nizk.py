@@ -17,8 +17,6 @@ stores the evaluation point; the verifier evaluates A/B/C itself
 
 from __future__ import annotations
 
-import hashlib
-
 import jax.numpy as jnp
 
 from ..core.field import Scalar
@@ -38,20 +36,9 @@ _ONE = Scalar.one()
 
 
 def instance_digest(inst) -> bytes:
-    """Deterministic digest of the R1CS matrices, standing in for the
-    reference's bincode-serialized instance digest (r1csinstance.rs
-    AppendToTranscript)."""
-    h = hashlib.sha3_256()
-    h.update(b"r1cs_instance")
-    for v in (inst.num_instances, inst.max_num_cons, inst.num_vars):
-        h.update(v.to_bytes(8, "little"))
-    for mats in (inst.A_list, inst.B_list, inst.C_list):
-        for m in mats:
-            h.update(m.rows.tobytes())
-            h.update(m.cols.tobytes())
-            for val in m.vals:
-                h.update(int(val).to_bytes(32, "little"))
-    return h.digest()
+    """The reference's zlib(bincode) digest (r1csinstance.rs:218-222,
+    appended upstream as lib.rs:3932 R1CSInstanceDigest)."""
+    return inst.get_digest()
 
 
 class NIZKGens:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..core.field import Scalar
 from ..ops import fq
+from ..ops.kernel_cache import cached_kernel
 from ..ops.sumcheck import _ext2, _ext3, _fold, _split
 from ..utils.errors import ProofVerifyError
 from .dense_mlpoly import (
@@ -37,7 +38,7 @@ _ZERO = Scalar.zero()
 _ONE = Scalar.one()
 
 
-@jax.jit
+@cached_kernel()
 def _layer_mul(left, right):
     """(n, 16) x (n, 16) -> next layer halves ((n/2,16), (n/2,16))."""
     prod = fq.mul(left, right)
@@ -97,7 +98,7 @@ class DotProductCircuit:
 # Batched cubic round kernel: B instances (A, B) sharing C, plus S
 # sequential instances (A, B, C); returns per-instance (e0, e2, e3).
 # --------------------------------------------------------------------------
-@jax.jit
+@cached_kernel()
 def _batched_cubic_evals(A, B, C_shared):
     """A, B: (Binst, n, 16); C_shared: (n, 16) -> (Binst, 3, 16)."""
     Alo, Ahi = _split(A, 1)
@@ -114,7 +115,7 @@ def _batched_cubic_evals(A, B, C_shared):
     return jnp.stack([e0, e2, e3], axis=1)
 
 
-@jax.jit
+@cached_kernel()
 def _batched_cubic_evals_seq(A, B, C):
     """A, B, C: (S, n, 16) -> (S, 3, 16)."""
     Alo, Ahi = _split(A, 1)
@@ -131,7 +132,7 @@ def _batched_cubic_evals_seq(A, B, C):
     return jnp.stack([e0, e2, e3], axis=1)
 
 
-@jax.jit
+@cached_kernel()
 def _batched_fold(T, r):
     lo, hi = _split(T, 1)
     return _fold(lo, hi, r)

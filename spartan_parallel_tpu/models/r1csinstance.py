@@ -43,6 +43,15 @@ class SparseMatPolynomial:
         self.rows = np.array([e[0] for e in entries], dtype=np.int32)
         self.cols = np.array([e[1] for e in entries], dtype=np.int32)
         self.vals = [int(e[2]) % L for e in entries]
+        # The SpMV / eval-table scatter-adds accumulate raw uint32 limbs,
+        # which overflow past 2^16 addends per row/col (ops/spmv.py
+        # MAX_ROW_NNZ). Enforce the bound at upload so a pathological
+        # matrix fails loudly instead of producing wrong Az/Bz/Cz.
+        if len(self.rows):
+            assert int(np.bincount(self.rows).max()) <= spmv.MAX_ROW_NNZ, \
+                "row nnz exceeds lazy-limb scatter bound (ops/spmv.py)"
+            assert int(np.bincount(self.cols).max()) <= spmv.MAX_ROW_NNZ, \
+                "col nnz exceeds lazy-limb scatter bound (ops/spmv.py)"
         self._vals_mont = None
         self._rows_dev = None
         self._cols_dev = None
@@ -60,12 +69,12 @@ class SparseMatPolynomial:
     def multiply_vec_batched(self, z, num_rows: int):
         """z: (Q, ncols, 16) Montgomery -> (Q, num_rows, 16) Montgomery."""
         r, c, v = self._dev()
-        return spmv.spmv_batched(r, c, v, z, num_rows)
+        return spmv.spmv_batched(r, c, v, z, num_rows=num_rows)
 
     def eval_table(self, rx_tab, num_cols: int):
         """(num_cols, 16) table M^T eq(rx) (sparse_mlpoly.rs:505,524)."""
         r, c, v = self._dev()
-        return spmv.eval_table(r, c, v, rx_tab, num_cols)
+        return spmv.eval_table(r, c, v, rx_tab, num_cols=num_cols)
 
     def evaluate_with_tables_dev(self, rx_tab, ry_tab):
         r, c, v = self._dev()
@@ -110,6 +119,45 @@ class R1CSInstance:
 
     def get_num_vars(self) -> int:
         return self.num_vars
+
+    def get_digest(self) -> bytes:
+        """zlib(bincode(self)) — byte-layout of r1csinstance.rs:218-222.
+
+        bincode 1.x default config: usize as u64 LE, Vec with u64 LE
+        length prefix, [u64;4] Scalar as 32 raw bytes of the MONTGOMERY
+        limbs (serde derives on Scalar's internal representation,
+        ristretto255.rs:199). Compression: zlib level 6 (flate2
+        Compression::default()). NOTE: zlib output across implementations
+        (miniz_oxide in the reference vs CPython's madler zlib) is not
+        guaranteed byte-identical at the same level — this is the one
+        documented potential divergence from libspartan here (PARITY.md).
+        """
+        import struct
+        import zlib
+
+        parts = []
+
+        def u64(v):
+            parts.append(struct.pack("<Q", v))
+
+        u64(self.num_instances)
+        u64(self.max_num_cons)
+        u64(len(self.num_cons))
+        for c in self.num_cons:
+            u64(c)
+        u64(self.num_vars)
+        for mats in (self.A_list, self.B_list, self.C_list):
+            u64(len(mats))
+            for m in mats:
+                u64(m.num_vars_x)
+                u64(m.num_vars_y)
+                u64(len(m.vals))
+                for r, c, v in zip(m.rows, m.cols, m.vals):
+                    u64(int(r))
+                    u64(int(c))
+                    parts.append(
+                        (int(v) * (1 << 256) % L).to_bytes(32, "little"))
+        return zlib.compress(b"".join(parts), 6)
 
     # --- Az/Bz/Cz (r1csinstance.rs:363-438) -------------------------------
     def multiply_vec_block(self, num_instances, num_proofs, max_num_proofs,

@@ -21,6 +21,7 @@ import numpy as np
 from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
 from ..ops import fq
+from ..ops.kernel_cache import cached_kernel
 from ..ops.sumcheck import rev_perm
 from ..utils.errors import ProofVerifyError
 from ..utils.timer import Timer
@@ -177,7 +178,9 @@ class R1CSGens:
     __slots__ = ("gens_sc", "gens_pc")
 
     def __init__(self, label: bytes, _num_cons: int, num_vars: int):
-        num_poly_vars = log2(num_vars)
+        # Math::log_2 rounds non-powers of two UP (src/math.rs:13-21), so a
+        # bound like interface.rs's TOTAL_NUM_VARS_BOUND = 10^7 must work.
+        num_poly_vars = ceil_log2(next_pow2(num_vars))
         self.gens_pc = PolyCommitmentGens(num_poly_vars, label)
         self.gens_sc = R1CSSumcheckGens(label, self.gens_pc.gens.gens_1)
 
@@ -207,6 +210,26 @@ def _prefix_list(rw, num_witness_secs: int):
                     out.append(t)
         return out
     raise ValueError(f"unsupported num_witness_secs: {num_witness_secs}")
+
+
+@cached_kernel()
+def _abc_comb_dev(tabs, rabc, live_mask, yperm):
+    """RLC of the phase-2 ABC eval tables + live-y mask + y bit-reversal.
+
+    tabs: (P, 3, W, Y, 16); rabc: (3, 16); live_mask: (P, Y) bool;
+    yperm: (Y,) int32. Returns (P, W, Y, 16) (r1csproof.rs:430-465).
+    """
+    comb = fq.mul(jnp.broadcast_to(rabc[None, :, None, None], tabs.shape),
+                  tabs)
+    comb = fq.add(fq.add(comb[:, 0], comb[:, 1]), comb[:, 2])
+    comb = jnp.where(live_mask[:, None, :, None], comb, 0)
+    return jnp.take(comb, yperm, axis=2)
+
+
+@cached_kernel()
+def _permute_qy_dev(z, qperm, yperm):
+    """(P, Q, W, Y, 16) natural -> bit-reversed q and y axes."""
+    return jnp.take(jnp.take(z, qperm, axis=1), yperm, axis=3)
 
 
 def assemble_z(num_instances, num_proofs, max_num_proofs, num_inputs,
@@ -359,20 +382,16 @@ class R1CSProof:
         # RLC by (rA, rB, rC), mask to live y, bit-reverse the y axis
         P_inst = inst.get_num_instances()
         W = next_pow2(num_witness_secs)
-        rA_m, rB_m, rC_m = (scalars_to_mont([r])[0] for r in (r_A, r_B, r_C))
+        rabc_m = scalars_to_mont([r_A, r_B, r_C])
         yperm = rev_perm(max_num_inputs)
-        abc_rows = []
+        tabs_stacked = jnp.stack(
+            [jnp.stack(tabs[p]) for p in range(P_inst)])  # (P, 3, W, Y, 16)
+        live_mask = np.zeros((P_inst, max_num_inputs), bool)
         for p in range(P_inst):
-            ta, tb, tc = tabs[p]
-            comb = fq.add(
-                fq.add(fq.mul(jnp.broadcast_to(rA_m, ta.shape), ta),
-                       fq.mul(jnp.broadcast_to(rB_m, tb.shape), tb)),
-                fq.mul(jnp.broadcast_to(rC_m, tc.shape), tc))
-            ni = num_inputs[p]
-            mask = (np.arange(max_num_inputs) < ni)
-            comb = jnp.where(jnp.asarray(mask)[None, :, None], comb, 0)
-            abc_rows.append(comb[:, yperm])
-        ABC_dense = jnp.stack(abc_rows)  # (P_inst, W, Y, 16)
+            live_mask[p, :num_inputs[p]] = True
+        ABC_dense = _abc_comb_dev(tabs_stacked, rabc_m,
+                                  jnp.asarray(live_mask),
+                                  jnp.asarray(yperm))  # (P_inst, W, Y, 16)
         if P_inst < next_pow2(num_instances) and P_inst != 1:
             padP = next_pow2(num_instances) - P_inst
             ABC_dense = jnp.concatenate([
@@ -382,7 +401,8 @@ class R1CSProof:
 
         timer = Timer("prove_z_gen")
         qperm = rev_perm(max_num_proofs)
-        Z_dense = z_nat[:, qperm][..., yperm, :]
+        Z_dense = _permute_qy_dev(z_nat, jnp.asarray(qperm),
+                                  jnp.asarray(yperm))
         Z_poly = DensePolynomialPqx(Z_dense, list(num_proofs),
                                     list(num_inputs))
         timer.stop()

@@ -214,6 +214,14 @@ class ShiftProofs:
 
     def verify(self, orig_comms, shifted_comms, poly_size_list,
                shift_size_list, header_len_list, vars_gens, transcript):
+        """NOTE (parity with upstream): the homomorphic shift relation
+        shifted(C) == orig(C)*C^shift_size + header*openings is NOT
+        checked — the reference leaves that check commented out
+        (lib.rs:480-505, inside ShiftProofs::verify), carrying the header
+        openings and shift_size_list unused, and we mirror that behavior
+        byte-for-byte. Enabling it would cost only header_len point ops
+        per instance; kept off for transcript parity.
+        """
         from ..core.edwards import RistrettoPoint
 
         for p, header_len in enumerate(header_len_list):

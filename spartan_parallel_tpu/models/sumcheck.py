@@ -151,6 +151,12 @@ class ZKSumcheckInstanceProof:
         comm_claim_per_round = commit_scalar(
             claim_per_round, blind_claim, gens_1).compress()
 
+        # Live lengths along each fold axis (buffers stay full-size; the
+        # fixed-shape kernels in ops/sumcheck.py take n_half = live // 2).
+        import numpy as _np
+        live = {MODE_P: int(tp.shape[0]), MODE_Q: int(tq.shape[0]),
+                MODE_X: int(tx.shape[0])}
+
         r, comm_polys, comm_evals, proofs = [], [], [], []
         for j in range(num_rounds):
             if j < num_rounds_x_max:
@@ -160,7 +166,18 @@ class ZKSumcheckInstanceProof:
             else:
                 mode = MODE_P
 
-            ev = mont_to_scalars(sck.p1_evals(tp, tq, tx, B, C, D, mode))
+            # Compact fully-bound axes at mode transitions (static slice:
+            # the bound value sits at index 0) so later rounds don't sweep
+            # the dead extent. One extra compile per transition, not per
+            # round.
+            if mode != MODE_X and tx.shape[0] > 1:
+                tx, B, C, D = (tx[:1], B[:, :, :1], C[:, :, :1], D[:, :, :1])
+            if mode == MODE_P and tq.shape[0] > 1:
+                tq, B, C, D = (tq[:1], B[:, :1], C[:, :1], D[:, :1])
+
+            n_half = _np.uint32(live[mode] // 2)
+            ev = mont_to_scalars(
+                sck.p1_evals(tp, tq, tx, B, C, D, n_half, mode=mode))
             e0, e2, e3 = ev
             poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
             comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
@@ -169,7 +186,9 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = scalars_to_mont([r_j])[0]
-            tp, tq, tx, B, C, D = sck.p1_bind(tp, tq, tx, B, C, D, rm, mode)
+            tp, tq, tx, B, C, D = sck.p1_bind(tp, tq, tx, B, C, D, rm,
+                                              n_half, mode=mode)
+            live[mode] //= 2
 
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
                 poly, r_j, j, claim_per_round, comm_claim_per_round,
@@ -208,6 +227,10 @@ class ZKSumcheckInstanceProof:
         comm_claim_per_round = commit_scalar(
             claim_per_round, blind_claim, gens_1).compress()
 
+        import numpy as _np
+        live = {MODE_P: int(Z.shape[0]), MODE_W: int(Z.shape[1]),
+                MODE_X: int(Z.shape[2])}
+
         r, comm_polys, comm_evals, proofs = [], [], [], []
         for j in range(num_rounds):
             if j < num_rounds_y_max:
@@ -217,7 +240,17 @@ class ZKSumcheckInstanceProof:
             else:
                 mode = MODE_P
 
-            ev = mont_to_scalars(sck.p2_evals(ep, ABC, Z, mode, single_inst))
+            if mode != MODE_X and Z.shape[2] > 1:
+                Z = Z[:, :, :1]
+                ABC = ABC[:, :, :1]
+            if mode == MODE_P and Z.shape[1] > 1:
+                Z = Z[:, :1]
+                ABC = ABC[:, :1]
+
+            n_half = _np.uint32(live[mode] // 2)
+            ev = mont_to_scalars(
+                sck.p2_evals(ep, ABC, Z, n_half, mode=mode,
+                             single_inst=single_inst))
             e0, e2, e3 = ev
             poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
             comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
@@ -226,7 +259,9 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = scalars_to_mont([r_j])[0]
-            ep, ABC, Z = sck.p2_bind(ep, ABC, Z, rm, mode, single_inst)
+            ep, ABC, Z = sck.p2_bind(ep, ABC, Z, rm, n_half, mode=mode,
+                                     single_inst=single_inst)
+            live[mode] //= 2
 
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
                 poly, r_j, j, claim_per_round, comm_claim_per_round,

@@ -287,6 +287,19 @@ void pt_double(const u8 *p, u8 *out) {
   ge_tobytes(out, &c);
 }
 
+/* TIMING THREAT MODEL: ge_scalar_mul / pt_msm below branch on scalar
+ * digits (table lookups indexed by secret data), i.e. they are
+ * VARIABLE-TIME, unlike the reference prover's constant-time
+ * curve25519-dalek ops. This layer runs only on the PROVER host — a
+ * machine assumed free of co-resident adversaries (a prover farm, not a
+ * wallet). Zero-knowledge of the produced proofs does not depend on
+ * op timing: blinds from the RandomTape enter commitments additively and
+ * the transcript binds only point/scalar VALUES. An operator deploying
+ * the prover on shared hardware against local timing adversaries should
+ * route commitments through the device path (SPARTAN_HOST_MSM_MAX=0),
+ * whose lockstep SIMD kernels are data-independent. Documented per the
+ * round-1 advisory; see also SURVEY.md §5 "const-time posture". */
+
 /* signed 4-bit windows of a 256-bit LE scalar: 64 digits in [-8, 8) */
 static void scalar_snaf4(const u8 *k, int8_t *digits) {
   int8_t naf[64];

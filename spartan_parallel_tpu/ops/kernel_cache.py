@@ -1,0 +1,114 @@
+"""AOT kernel registry: disk-cached jax.export artifacts.
+
+The prover's device kernels are few, but their limb-arithmetic graphs are
+large (thousands of primitives), and on a small host Python tracing plus
+MLIR lowering costs seconds per kernel per process — which dominated
+end-to-end prove time (a 2^6 NIZK spent >60 s in trace/lower/compile and
+microseconds in compute). The XLA persistent cache only skips the final
+backend compile; tracing and lowering re-run every process because the
+cache key is derived from the lowered HLO.
+
+This module closes the gap: every registered kernel is traced + lowered
+ONCE per (backend, shapes, dtypes, statics, source-hash) and the
+serialized StableHLO artifact is written to disk. A warm process
+deserializes in milliseconds and calls the artifact directly — no
+tracing, no lowering, and the backend compile hits the XLA persistent
+cache.
+
+Usage:
+    @cached_kernel(static_argnames=("mode",))
+    def my_kernel(x, y, mode: int): ...
+
+Set SPARTAN_NO_AOT_CACHE=1 to fall back to plain jax.jit (e.g. when
+debugging with eager numerics or running under explicit Mesh shardings —
+exported artifacts pin the sharding they were traced with).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import threading
+
+import jax
+import numpy as np
+
+_DISABLED = bool(os.environ.get("SPARTAN_NO_AOT_CACHE"))
+
+_CACHE_DIR = os.environ.get(
+    "SPARTAN_AOT_CACHE_DIR",
+    os.path.expanduser("~/.cache/spartan_parallel_tpu/export"))
+
+_LOCK = threading.Lock()
+_MEM: dict = {}
+_SRC_HASH: str | None = None
+
+
+def _src_hash() -> str:
+    """Hash of the ops package sources: edits invalidate the disk cache."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        h = hashlib.sha256()
+        pkg = os.path.dirname(__file__)
+        for fn in sorted(os.listdir(pkg)):
+            if fn.endswith(".py"):
+                with open(os.path.join(pkg, fn), "rb") as f:
+                    h.update(f.read())
+        h.update(jax.__version__.encode())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _abstractify(a):
+    if isinstance(a, (int, np.integer)):
+        return f"i:{np.asarray(a).dtype}"
+    x = np.asarray(a) if not hasattr(a, "shape") else a
+    return f"{x.dtype}{tuple(x.shape)}"
+
+
+def cached_kernel(static_argnames: tuple = (), name: str | None = None):
+    """Decorator: jit + AOT-export the function, cached on disk."""
+
+    def deco(fn):
+        fn_name = name or fn.__name__
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            statics = {k: kwargs.pop(k) for k in list(kwargs)
+                       if k in static_argnames}
+            if _DISABLED:
+                jitted = jax.jit(functools.partial(fn, **statics))
+                return jitted(*args, **kwargs)
+            assert not kwargs, f"non-static kwargs unsupported: {kwargs}"
+            backend = jax.default_backend()
+            key_str = "|".join([
+                fn_name, backend, _src_hash(),
+                ",".join(f"{k}={statics[k]}" for k in sorted(statics)),
+                ",".join(_abstractify(a) for a in args),
+            ])
+            key = hashlib.sha256(key_str.encode()).hexdigest()[:24]
+            with _LOCK:
+                exp = _MEM.get(key)
+            if exp is None:
+                path = os.path.join(_CACHE_DIR, f"{fn_name}_{key}.bin")
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        exp = jax.export.deserialize(f.read())
+                else:
+                    jitted = jax.jit(functools.partial(fn, **statics))
+                    exp = jax.export.export(jitted)(*args)
+                    data = exp.serialize()
+                    os.makedirs(_CACHE_DIR, exist_ok=True)
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, path)
+                with _LOCK:
+                    _MEM[key] = exp
+            return exp.call(*args)
+
+        wrapper.__wrapped_fn__ = fn
+        return wrapper
+
+    return deco

@@ -135,7 +135,9 @@ def _carry_prop_scan(c):
         v = col + carry
         return v >> LIMB_BITS, v & MASK
 
-    _, ys = jax.lax.scan(body, jnp.zeros(cols.shape[1:], jnp.uint32), cols)
+    # zeros_like(cols[0]) (not jnp.zeros) so the carry inherits the input's
+    # varying manual axes under shard_map (scan requires matching vma).
+    _, ys = jax.lax.scan(body, jnp.zeros_like(cols[0]), cols)
     return jnp.moveaxis(ys, 0, -1)
 
 
@@ -169,7 +171,7 @@ def _borrow_sub_scan(a, b):
         v = ab[0] - ab[1] - borrow  # wraps mod 2^32
         return (v >> 31) & 1, v & MASK
 
-    borrow, ys = jax.lax.scan(body, jnp.zeros(a.shape[:-1], jnp.uint32), cols)
+    borrow, ys = jax.lax.scan(body, jnp.zeros_like(cols[0, 0]), cols)
     return jnp.moveaxis(ys, 0, -1), borrow == 1
 
 

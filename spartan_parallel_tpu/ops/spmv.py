@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import fq
+from .kernel_cache import cached_kernel
 
 # Scatter-add limb accumulation bound: values < 2^16 each; uint32 holds
 # 2^16 of them. Matrices with a denser row would need splitting (not seen
@@ -28,7 +29,7 @@ from . import fq
 MAX_ROW_NNZ = 1 << 15
 
 
-@functools.partial(jax.jit, static_argnames=("num_rows",))
+@cached_kernel(static_argnames=("num_rows",))
 def spmv_batched(rows, cols, vals, z, num_rows: int):
     """Batched sparse mat-vec: one matrix, many right-hand sides.
 
@@ -43,7 +44,7 @@ def spmv_batched(rows, cols, vals, z, num_rows: int):
     return fq.resolve_lazy(acc)
 
 
-@functools.partial(jax.jit, static_argnames=("num_cols",))
+@cached_kernel(static_argnames=("num_cols",))
 def eval_table(rows, cols, vals, rx_tab, num_cols: int):
     """M^T rx: out[col] = sum_{(r,c,v)} eq_rx[r] * v for c == col.
 
@@ -57,7 +58,7 @@ def eval_table(rows, cols, vals, rx_tab, num_cols: int):
     return fq.resolve_lazy(acc)
 
 
-@jax.jit
+@cached_kernel()
 def sparse_eval(rows, cols, vals, rx_tab, ry_tab):
     """M(rx, ry) = sum val * eq_rx[row] * eq_ry[col] (sparse_mlpoly.rs:427)."""
     t = fq.mul(jnp.take(rx_tab, rows, axis=0), jnp.take(ry_tab, cols, axis=0))

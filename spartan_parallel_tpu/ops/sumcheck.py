@@ -22,16 +22,31 @@ of materialized.
 Each sumcheck round costs two device calls: `*_evals` (returns the three
 round-poly evaluations) and `*_bind` (folds every table) — the host
 transcript sits between them.
+
+Compile-count discipline: the round kernels (`p1_evals`/`p1_bind`/
+`p2_evals`/`p2_bind`) run on FIXED-shape buffers for every round. Instead
+of compacting the tables after each fold (which would give every round a
+distinct shape and force an XLA recompile per round — measured at 30-45 s
+per compile on a 1-core host, i.e. hours per prove), the buffers keep
+their initial shape and a dynamic `n_half` scalar marks the live half:
+
+    lo  = T masked to positions  i < n_half
+    hi  = roll(T, -n_half)  masked to  i < n_half
+    T' = lo + r*(hi - lo)        (zero outside the mask by construction)
+
+The dead region is always the field zero (all-zero limbs), so evals can
+contract over the full buffer with no masking, exactly as the dense
+zero-padded design already guaranteed. Result: ONE compile per
+(mode, buffer-shape) — a handful per prove, independent of round count.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from . import fq
+from .kernel_cache import cached_kernel
 
 MODE_P = 1
 MODE_Q = 2
@@ -78,17 +93,63 @@ def _fold(lo, hi, r):
 
 
 # --------------------------------------------------------------------------
+# Fixed-buffer lo/hi extraction: buffers never shrink; `n_half` (a dynamic
+# uint32 scalar) is half the CURRENT live length along the fold axis.
+# --------------------------------------------------------------------------
+def _axis_mask(t, axis: int, n_half):
+    n = t.shape[axis]
+    i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    shape = [1] * t.ndim
+    shape[axis] = n
+    return (i < n_half).reshape(shape)
+
+
+def _lohi(t, axis: int, n_half):
+    """(lo, hi) halves of the live region, zero outside [0, n_half)."""
+    mask = _axis_mask(t, axis, n_half)
+    lo = jnp.where(mask, t, 0)
+    hi = jnp.where(mask, jnp.roll(t, -n_half.astype(jnp.int32), axis=axis), 0)
+    return lo, hi
+
+
+def _fold_live(t, axis: int, n_half, r):
+    """One variable bind on the live region; dead region stays zero."""
+    lo, hi = _lohi(t, axis, n_half)
+    return _fold(lo, hi, r)
+
+
+@cached_kernel(static_argnames=("axis",))
+def fold_chain(T, rs, axis: int):
+    """Bind len(rs) variables along `axis` in ONE device program.
+
+    T: (..., n, ..., 16) Montgomery limbs with n a power of 2; rs: (k, 16)
+    Montgomery challenges, bound in order. Returns the full-shape buffer
+    with the live prefix of length n >> k at index 0 (dead region zero) —
+    the caller compacts with a static slice. Replaces per-round eager
+    folds (k distinct shapes -> k XLA compiles) with one fori_loop kernel.
+    """
+    n = T.shape[axis]
+    k = rs.shape[0]
+
+    def body(i, T):
+        n_half = jnp.uint32(n >> 1) >> i.astype(jnp.uint32)
+        return _fold_live(T, axis, n_half, rs[i])
+
+    return jax.lax.fori_loop(0, k, body, T)
+
+
+# --------------------------------------------------------------------------
 # Phase 1: comb = eq_p(p) eq_q(q) eq_x(x) * (B*C - D); rounds x -> q -> p
 # --------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("mode",))
-def p1_evals(tp, tq, tx, B, C, D, mode: int):
+@cached_kernel(static_argnames=("mode",))
+def p1_evals(tp, tq, tx, B, C, D, n_half, mode: int):
     """Round-poly evals (e0, e2, e3) as a (3, 16) Montgomery array."""
     axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
-    Blo, Bhi = _split(B, axis)
-    Clo, Chi = _split(C, axis)
-    Dlo, Dhi = _split(D, axis)
+    Blo, Bhi = _lohi(B, axis, n_half)
+    Clo, Chi = _lohi(C, axis, n_half)
+    Dlo, Dhi = _lohi(D, axis, n_half)
     eqs = {0: tp, 1: tq, 2: tx}
-    elo, ehi = _split(eqs[axis], 0)
+    elo, ehi = _lohi(eqs[axis], 0, n_half)
 
     def contract(g, eq_fold):
         eqs_k = dict(eqs)
@@ -114,18 +175,18 @@ def p1_evals(tp, tq, tx, B, C, D, mode: int):
     return jnp.stack([e0, e2, e3])
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def p1_bind(tp, tq, tx, B, C, D, r, mode: int):
+@cached_kernel(static_argnames=("mode",))
+def p1_bind(tp, tq, tx, B, C, D, r, n_half, mode: int):
     axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
-    B = _fold(*_split(B, axis), r)
-    C = _fold(*_split(C, axis), r)
-    D = _fold(*_split(D, axis), r)
+    B = _fold_live(B, axis, n_half, r)
+    C = _fold_live(C, axis, n_half, r)
+    D = _fold_live(D, axis, n_half, r)
     if mode == MODE_P:
-        tp = _fold(*_split(tp, 0), r)
+        tp = _fold_live(tp, 0, n_half, r)
     elif mode == MODE_Q:
-        tq = _fold(*_split(tq, 0), r)
+        tq = _fold_live(tq, 0, n_half, r)
     else:
-        tx = _fold(*_split(tx, 0), r)
+        tx = _fold_live(tx, 0, n_half, r)
     return tp, tq, tx, B, C, D
 
 
@@ -133,16 +194,16 @@ def p1_bind(tp, tq, tx, B, C, D, r, mode: int):
 # Phase 2: comb = eq_p(p) * ABC(p, w, y) * Z(p, w, y); rounds y -> w -> p
 # ABC may have a single instance (axis 0 length 1) broadcast over p.
 # --------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("mode", "single_inst"))
-def p2_evals(ep, ABC, Z, mode: int, single_inst: bool):
+@cached_kernel(static_argnames=("mode", "single_inst"))
+def p2_evals(ep, ABC, Z, n_half, mode: int, single_inst: bool):
     axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
-    Zlo, Zhi = _split(Z, axis)
+    Zlo, Zhi = _lohi(Z, axis, n_half)
     if mode == MODE_P and single_inst:
         Alo = Ahi = ABC
     else:
-        Alo, Ahi = _split(ABC, axis)
+        Alo, Ahi = _lohi(ABC, axis, n_half)
     if mode == MODE_P:
-        elo, ehi = _split(ep, 0)
+        elo, ehi = _lohi(ep, 0, n_half)
     else:
         elo = ehi = ep
 
@@ -163,12 +224,12 @@ def p2_evals(ep, ABC, Z, mode: int, single_inst: bool):
     return jnp.stack([e0, e2, e3])
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "single_inst"))
-def p2_bind(ep, ABC, Z, r, mode: int, single_inst: bool):
+@cached_kernel(static_argnames=("mode", "single_inst"))
+def p2_bind(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
     axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
-    Z = _fold(*_split(Z, axis), r)
+    Z = _fold_live(Z, axis, n_half, r)
     if not (mode == MODE_P and single_inst):
-        ABC = _fold(*_split(ABC, axis), r)
+        ABC = _fold_live(ABC, axis, n_half, r)
     if mode == MODE_P:
-        ep = _fold(*_split(ep, 0), r)
+        ep = _fold_live(ep, 0, n_half, r)
     return ep, ABC, Z

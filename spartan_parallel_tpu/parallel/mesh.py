@@ -48,15 +48,17 @@ def replicate(mesh: Mesh, arr):
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
-def sharded_p1_round(tp, tq, tx, B, C, D, r, mode: int):
+def sharded_p1_round(tp, tq, tx, B, C, D, r, n_half, mode: int):
     """One full phase-1 sumcheck round: evals then bind, as a single jit.
 
     With B/C/D sharded on the q axis, the x-mode contraction reduces
     locally per shard and XLA inserts the cross-chip psum for the final
     (3, 16) result; the binds stay elementwise-local.
     """
-    evals = sck.p1_evals(tp, tq, tx, B, C, D, mode)
-    bound = sck.p1_bind(tp, tq, tx, B, C, D, r, mode)
+    evals = sck.p1_evals.__wrapped_fn__(tp, tq, tx, B, C, D, n_half,
+                                        mode=mode)
+    bound = sck.p1_bind.__wrapped_fn__(tp, tq, tx, B, C, D, r, n_half,
+                                       mode=mode)
     return evals, bound
 
 
@@ -84,6 +86,7 @@ def dryrun_step(mesh: Mesh, P_i=2, Q=8, X=8):
     D = shard_q(mesh, rand_tab(P_i, Q, X))
     r = rand_tab()
 
-    evals, bound = sharded_p1_round(tp, tq, tx, B, C, D, r, sck.MODE_X)
+    evals, bound = sharded_p1_round(tp, tq, tx, B, C, D, r,
+                                    np.uint32(X // 2), sck.MODE_X)
     jax.block_until_ready(evals)
     return evals, bound

