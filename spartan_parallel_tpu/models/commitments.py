@@ -96,7 +96,9 @@ def commit_rows(rows: np.ndarray, blinds, gens: MultiCommitGens):
     scal = np.empty((b, n + 1), dtype=object)
     scal[:, :n] = rows
     scal[:, n] = [int(x) for x in blinds]
-    if n + 1 <= _HOST_MSM_MAX:
+    # Dispatch on TOTAL work (the device kernel batches all rows in one
+    # launch — the Hyrax shape), not per-row size.
+    if b * (n + 1) <= _HOST_MSM_MAX:
         pts = gens.G[:n] + [gens.h]
         return [multiscalar_mul(list(r), pts) for r in scal]
     limbs_arr = lb.ints_to_limbs(list(scal.reshape(-1))).reshape(b, n + 1, 16)
@@ -109,7 +111,7 @@ def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
     """Batched commit of device-resident Montgomery rows (B, n, 16)."""
     b, n, _ = rows_mont.shape
     assert gens.n >= n
-    if n + 1 <= _HOST_MSM_MAX:
+    if b * (n + 1) <= _HOST_MSM_MAX:
         import jax
 
         # fq.decode expects Montgomery limbs and applies R^-1 itself

@@ -168,6 +168,32 @@ def _dot_dev(a, b):
     return fq.dot(a, b, axis=0)
 
 
+@cached_kernel(static_argnames=("n",))
+def _powers_dev(c_mont, n: int):
+    """(16,) Montgomery c -> (n, 16) powers [1, c, c^2, ...] via a
+    work-efficient associative scan (log depth)."""
+    cs = jnp.concatenate([
+        jnp.asarray(fq.ONE_MONT, jnp.uint32)[None],
+        jnp.broadcast_to(c_mont, (n - 1, 16)),
+    ])
+    return jax.lax.associative_scan(fq.mul, cs, axis=0)
+
+
+@cached_kernel()
+def _rlc_eval_dev(Zm, powers):
+    """sum_i Zm[i] * powers[i] — the univariate RLC evaluation."""
+    return fq.dot(Zm, powers[: Zm.shape[0]], axis=0)
+
+
+def uni_evaluate(poly, c: Scalar) -> Scalar:
+    """Treat the ML poly's table as univariate coefficients and evaluate
+    at c (the ShiftProofs trick, lib.rs:390-419) — on device, O(log n)
+    depth instead of a host bigint loop."""
+    n = poly.Zm.shape[0]
+    powers = _powers_dev(scalars_to_mont([c])[0], n=n)
+    return mont_to_scalar(_rlc_eval_dev(poly.Zm, powers))
+
+
 # --------------------------------------------------------------------------
 # DensePolynomial
 # --------------------------------------------------------------------------

@@ -67,9 +67,12 @@ class NIZK:
         return b"Spartan NIZK proof"
 
     @staticmethod
-    def prove(inst, vars_, inputs, gens: NIZKGens, transcript):
+    def prove(inst, vars_, inputs, gens: NIZKGens, transcript,
+              random_tape=None):
         """inst: 1-instance R1CSInstance; vars_: num_vars ints;
-        inputs: < num_vars ints."""
+        inputs: < num_vars ints. `random_tape` may be injected for
+        reproducible proofs (sharding bit-exactness tests); default is a
+        fresh OsRng-seeded tape as in the reference."""
         timer = Timer("NIZK::prove")
         assert inst.get_num_instances() == 1
         num_vars = inst.get_num_vars() // 2  # per-section size
@@ -79,7 +82,8 @@ class NIZK:
         transcript.append_protocol_name(NIZK.protocol_name())
         transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
 
-        random_tape = RandomTape(b"proof")
+        if random_tape is None:
+            random_tape = RandomTape(b"proof")
 
         # witness sec 0: private vars. Committed with zero row blinds, as
         # the fork does for every witness poly (lib.rs:1973 etc. pass None);

@@ -23,6 +23,7 @@ from ..core.field import Scalar
 from ..ops import fq
 from ..ops.kernel_cache import cached_kernel
 from ..ops.sumcheck import rev_perm
+from ..parallel.context import shard_big
 from ..utils.errors import ProofVerifyError
 from ..utils.timer import Timer
 from .commitments import MultiCommitGens, commit_scalar
@@ -293,8 +294,9 @@ class R1CSProof:
 
         # z assembly (natural order) --------------------------------------
         timer = Timer("prove_z_mat_gen")
-        z_nat = assemble_z(num_instances, num_proofs, max_num_proofs,
-                           num_inputs, max_num_inputs, witness_secs)
+        z_nat = shard_big(
+            assemble_z(num_instances, num_proofs, max_num_proofs,
+                       num_inputs, max_num_inputs, witness_secs), 3)
         timer.stop()
 
         nrp = ceil_log2(next_pow2(num_instances))
@@ -310,7 +312,7 @@ class R1CSProof:
         timer = Timer("prove_vec_mult")
         poly_tau_p = EqPolynomial(tau_p).evals_dev()
         poly_tau_q = EqPolynomial(tau_q).evals_dev()
-        poly_tau_x = EqPolynomial(tau_x).evals_dev()
+        poly_tau_x = shard_big(EqPolynomial(tau_x).evals_dev(), 0)
         poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_block(
             num_instances, list(num_proofs), max_num_proofs,
             list(num_inputs), max_num_inputs, num_cons, block_num_cons,
@@ -323,8 +325,9 @@ class R1CSProof:
             ZKSumcheckInstanceProof.prove_cubic_with_additive_term_disjoint_rounds(
                 _ZERO, _ZERO, nrx + nrq + nrp, nrx, nrq, nrp,
                 poly_tau_p, poly_tau_q, poly_tau_x,
-                poly_Az.Zm[:, :, 0], poly_Bz.Zm[:, :, 0],
-                poly_Cz.Zm[:, :, 0],
+                shard_big(poly_Az.Zm[:, :, 0], 2),
+                shard_big(poly_Bz.Zm[:, :, 0], 2),
+                shard_big(poly_Cz.Zm[:, :, 0], 2),
                 gens.gens_sc.gens_1, gens.gens_sc.gens_4,
                 transcript, random_tape)
         timer_sc1.stop()
@@ -389,9 +392,9 @@ class R1CSProof:
         live_mask = np.zeros((P_inst, max_num_inputs), bool)
         for p in range(P_inst):
             live_mask[p, :num_inputs[p]] = True
-        ABC_dense = _abc_comb_dev(tabs_stacked, rabc_m,
-                                  jnp.asarray(live_mask),
-                                  jnp.asarray(yperm))  # (P_inst, W, Y, 16)
+        ABC_dense = shard_big(
+            _abc_comb_dev(tabs_stacked, rabc_m, jnp.asarray(live_mask),
+                          jnp.asarray(yperm)), 2)  # (P_inst, W, Y, 16)
         if P_inst < next_pow2(num_instances) and P_inst != 1:
             padP = next_pow2(num_instances) - P_inst
             ABC_dense = jnp.concatenate([
@@ -417,7 +420,8 @@ class R1CSProof:
             ZKSumcheckInstanceProof.prove_cubic_disjoint_rounds(
                 claim_phase2, blind_claim_phase2, nry + nrw + nrp,
                 nry, nrw, nrp, single_inst, eq_p_rp, ABC_dense,
-                Z_poly.Zm[:, 0], gens.gens_sc.gens_1, gens.gens_sc.gens_4,
+                shard_big(Z_poly.Zm[:, 0], 2),
+                gens.gens_sc.gens_1, gens.gens_sc.gens_4,
                 transcript, random_tape)
         timer_sc2.stop()
 

@@ -172,9 +172,12 @@ class ShiftProofs:
             max(len(p) for p in orig_polys),
             max(len(p) for p in shifted_polys))
 
+        from .dense_mlpoly import mont_to_scalars
+
         openings = [[] for _ in range(num_instances)]
         for p in range(num_instances):
-            head = orig_polys[p].to_scalars()[: header_len_list[p]]
+            hl = header_len_list[p]
+            head = mont_to_scalars(orig_polys[p].Zm[:hl]) if hl else []
             for v in head:
                 entry = commit_scalar(
                     v, _ZERO, vars_gens.gens_pc.gens.gens_1).compress()
@@ -182,23 +185,18 @@ class ShiftProofs:
                 openings[p].append(entry)
 
         c = transcript.challenge_scalar(b"challenge_c")
-        rc = []
-        next_c = _ONE
-        for _ in range(max_poly_size):
-            rc.append(next_c)
-            next_c = next_c * c
+        del max_poly_size  # device RLC sizes per-poly
+
+        # Univariate RLC evaluations on device (powers via log-depth scan
+        # + one fq.dot per poly) — replaces O(poly_size) host bigint loops
+        # (round-1 verdict: minutes at 2^20 trace lengths).
+        from .dense_mlpoly import uni_evaluate
 
         orig_evals, shifted_evals = [], []
         C_orig_evals, C_shifted_evals = [], []
         for p in range(num_instances):
-            ovals = orig_polys[p].to_scalars()
-            svals = shifted_polys[p].to_scalars()
-            oe = _ZERO
-            for i, v in enumerate(ovals):
-                oe = oe + v * rc[i]
-            se = _ZERO
-            for i, v in enumerate(svals):
-                se = se + v * rc[i]
+            oe = uni_evaluate(orig_polys[p], c)
+            se = uni_evaluate(shifted_polys[p], c)
             orig_evals.append(oe)
             shifted_evals.append(se)
             C_orig_evals.append(commit_scalar(

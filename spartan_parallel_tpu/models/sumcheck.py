@@ -157,7 +157,12 @@ class ZKSumcheckInstanceProof:
         live = {MODE_P: int(tp.shape[0]), MODE_Q: int(tq.shape[0]),
                 MODE_X: int(tx.shape[0])}
 
+        # Fused round pipeline: each device call binds the PREVIOUS
+        # round's challenge and evaluates THIS round's polys — one
+        # dispatch + one sync per round (the host<->device round trip
+        # dominates the sumcheck at small/medium sizes).
         r, comm_polys, comm_evals, proofs = [], [], [], []
+        pending = None  # (rm, n_half, mode) of the previous round
         for j in range(num_rounds):
             if j < num_rounds_x_max:
                 mode = MODE_X
@@ -166,19 +171,15 @@ class ZKSumcheckInstanceProof:
             else:
                 mode = MODE_P
 
-            # Compact fully-bound axes at mode transitions (static slice:
-            # the bound value sits at index 0) so later rounds don't sweep
-            # the dead extent. One extra compile per transition, not per
-            # round.
-            if mode != MODE_X and tx.shape[0] > 1:
-                tx, B, C, D = (tx[:1], B[:, :, :1], C[:, :, :1], D[:, :, :1])
-            if mode == MODE_P and tq.shape[0] > 1:
-                tq, B, C, D = (tq[:1], B[:, :1], C[:, :1], D[:, :1])
-
             n_half = _np.uint32(live[mode] // 2)
-            ev = mont_to_scalars(
-                sck.p1_evals(tp, tq, tx, B, C, D, n_half, mode=mode))
-            e0, e2, e3 = ev
+            if pending is None:
+                evd = sck.p1_evals(tp, tq, tx, B, C, D, n_half, mode=mode)
+            else:
+                rm_p, nh_p, mode_p = pending
+                evd, (tp, tq, tx, B, C, D) = sck.p1_step(
+                    tp, tq, tx, B, C, D, rm_p, nh_p, n_half,
+                    mode_prev=mode_p, mode=mode)
+            e0, e2, e3 = mont_to_scalars(evd)
             poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
             comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
             transcript.append_point(b"comm_poly", comm_poly)
@@ -186,8 +187,7 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = scalars_to_mont([r_j])[0]
-            tp, tq, tx, B, C, D = sck.p1_bind(tp, tq, tx, B, C, D, rm,
-                                              n_half, mode=mode)
+            pending = (rm, n_half, mode)
             live[mode] //= 2
 
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
@@ -200,6 +200,10 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
+        if pending is not None:  # final bind for the last round
+            rm_p, nh_p, mode_p = pending
+            tp, tq, tx, B, C, D = sck.p1_bind(tp, tq, tx, B, C, D, rm_p,
+                                              nh_p, mode=mode_p)
         tpv, tqv, txv = (mont_to_scalar(t[0]) for t in (tp, tq, tx))
         claims = [
             tpv * tqv * txv,
@@ -232,6 +236,7 @@ class ZKSumcheckInstanceProof:
                 MODE_X: int(Z.shape[2])}
 
         r, comm_polys, comm_evals, proofs = [], [], [], []
+        pending = None
         for j in range(num_rounds):
             if j < num_rounds_y_max:
                 mode = MODE_X
@@ -240,18 +245,16 @@ class ZKSumcheckInstanceProof:
             else:
                 mode = MODE_P
 
-            if mode != MODE_X and Z.shape[2] > 1:
-                Z = Z[:, :, :1]
-                ABC = ABC[:, :, :1]
-            if mode == MODE_P and Z.shape[1] > 1:
-                Z = Z[:, :1]
-                ABC = ABC[:, :1]
-
             n_half = _np.uint32(live[mode] // 2)
-            ev = mont_to_scalars(
-                sck.p2_evals(ep, ABC, Z, n_half, mode=mode,
-                             single_inst=single_inst))
-            e0, e2, e3 = ev
+            if pending is None:
+                evd = sck.p2_evals(ep, ABC, Z, n_half, mode=mode,
+                                   single_inst=single_inst)
+            else:
+                rm_p, nh_p, mode_p = pending
+                evd, (ep, ABC, Z) = sck.p2_step(
+                    ep, ABC, Z, rm_p, nh_p, n_half, mode_prev=mode_p,
+                    mode=mode, single_inst=single_inst)
+            e0, e2, e3 = mont_to_scalars(evd)
             poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
             comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
             transcript.append_point(b"comm_poly", comm_poly)
@@ -259,8 +262,7 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             rm = scalars_to_mont([r_j])[0]
-            ep, ABC, Z = sck.p2_bind(ep, ABC, Z, rm, n_half, mode=mode,
-                                     single_inst=single_inst)
+            pending = (rm, n_half, mode)
             live[mode] //= 2
 
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
@@ -273,6 +275,10 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
+        if pending is not None:  # final bind for the last round
+            rm_p, nh_p, mode_p = pending
+            ep, ABC, Z = sck.p2_bind(ep, ABC, Z, rm_p, nh_p, mode=mode_p,
+                                     single_inst=single_inst)
         claims = [
             mont_to_scalar(ep[0]),
             mont_to_scalar(ABC[0, 0, 0]),

@@ -141,8 +141,7 @@ def fold_chain(T, rs, axis: int):
 # --------------------------------------------------------------------------
 # Phase 1: comb = eq_p(p) eq_q(q) eq_x(x) * (B*C - D); rounds x -> q -> p
 # --------------------------------------------------------------------------
-@cached_kernel(static_argnames=("mode",))
-def p1_evals(tp, tq, tx, B, C, D, n_half, mode: int):
+def _p1_evals_impl(tp, tq, tx, B, C, D, n_half, mode: int):
     """Round-poly evals (e0, e2, e3) as a (3, 16) Montgomery array."""
     axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
     Blo, Bhi = _lohi(B, axis, n_half)
@@ -175,8 +174,7 @@ def p1_evals(tp, tq, tx, B, C, D, n_half, mode: int):
     return jnp.stack([e0, e2, e3])
 
 
-@cached_kernel(static_argnames=("mode",))
-def p1_bind(tp, tq, tx, B, C, D, r, n_half, mode: int):
+def _p1_bind_impl(tp, tq, tx, B, C, D, r, n_half, mode: int):
     axis = {MODE_X: 2, MODE_Q: 1, MODE_P: 0}[mode]
     B = _fold_live(B, axis, n_half, r)
     C = _fold_live(C, axis, n_half, r)
@@ -194,8 +192,7 @@ def p1_bind(tp, tq, tx, B, C, D, r, n_half, mode: int):
 # Phase 2: comb = eq_p(p) * ABC(p, w, y) * Z(p, w, y); rounds y -> w -> p
 # ABC may have a single instance (axis 0 length 1) broadcast over p.
 # --------------------------------------------------------------------------
-@cached_kernel(static_argnames=("mode", "single_inst"))
-def p2_evals(ep, ABC, Z, n_half, mode: int, single_inst: bool):
+def _p2_evals_impl(ep, ABC, Z, n_half, mode: int, single_inst: bool):
     axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
     Zlo, Zhi = _lohi(Z, axis, n_half)
     if mode == MODE_P and single_inst:
@@ -224,8 +221,7 @@ def p2_evals(ep, ABC, Z, n_half, mode: int, single_inst: bool):
     return jnp.stack([e0, e2, e3])
 
 
-@cached_kernel(static_argnames=("mode", "single_inst"))
-def p2_bind(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
+def _p2_bind_impl(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
     axis = {MODE_X: 2, MODE_W: 1, MODE_P: 0}[mode]
     Z = _fold_live(Z, axis, n_half, r)
     if not (mode == MODE_P and single_inst):
@@ -233,3 +229,66 @@ def p2_bind(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
     if mode == MODE_P:
         ep = _fold_live(ep, 0, n_half, r)
     return ep, ABC, Z
+
+
+# --------------------------------------------------------------------------
+# Public kernels. `*_step` fuses the PREVIOUS round's bind with this
+# round's evals into one device program — halving per-round dispatches
+# (the host<->device round trip, not compute, dominates small/medium
+# sumchecks through the remote-TPU tunnel). `compact` applies the static
+# mode-transition slices (fully-bound axes collapse to length 1).
+# --------------------------------------------------------------------------
+def _p1_compact(tp, tq, tx, B, C, D, mode: int):
+    if mode != MODE_X and tx.shape[0] > 1:
+        tx, B, C, D = tx[:1], B[:, :, :1], C[:, :, :1], D[:, :, :1]
+    if mode == MODE_P and tq.shape[0] > 1:
+        tq, B, C, D = tq[:1], B[:, :1], C[:, :1], D[:, :1]
+    return tp, tq, tx, B, C, D
+
+
+@cached_kernel(static_argnames=("mode",))
+def p1_evals(tp, tq, tx, B, C, D, n_half, mode: int):
+    return _p1_evals_impl(tp, tq, tx, B, C, D, n_half, mode)
+
+
+@cached_kernel(static_argnames=("mode",))
+def p1_bind(tp, tq, tx, B, C, D, r, n_half, mode: int):
+    return _p1_bind_impl(tp, tq, tx, B, C, D, r, n_half, mode)
+
+
+@cached_kernel(static_argnames=("mode_prev", "mode"))
+def p1_step(tp, tq, tx, B, C, D, r_prev, n_half_prev, n_half,
+            mode_prev: int, mode: int):
+    tabs = _p1_bind_impl(tp, tq, tx, B, C, D, r_prev, n_half_prev,
+                         mode_prev)
+    tabs = _p1_compact(*tabs, mode)
+    ev = _p1_evals_impl(*tabs, n_half, mode)
+    return ev, tabs
+
+
+@cached_kernel(static_argnames=("mode", "single_inst"))
+def p2_evals(ep, ABC, Z, n_half, mode: int, single_inst: bool):
+    return _p2_evals_impl(ep, ABC, Z, n_half, mode, single_inst)
+
+
+@cached_kernel(static_argnames=("mode", "single_inst"))
+def p2_bind(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
+    return _p2_bind_impl(ep, ABC, Z, r, n_half, mode, single_inst)
+
+
+def _p2_compact(ep, ABC, Z, mode: int):
+    if mode != MODE_X and Z.shape[2] > 1:
+        Z, ABC = Z[:, :, :1], ABC[:, :, :1]
+    if mode == MODE_P and Z.shape[1] > 1:
+        Z, ABC = Z[:, :1], ABC[:, :1]
+    return ep, ABC, Z
+
+
+@cached_kernel(static_argnames=("mode_prev", "mode", "single_inst"))
+def p2_step(ep, ABC, Z, r_prev, n_half_prev, n_half, mode_prev: int,
+            mode: int, single_inst: bool):
+    tabs = _p2_bind_impl(ep, ABC, Z, r_prev, n_half_prev, mode_prev,
+                         single_inst)
+    tabs = _p2_compact(*tabs, mode)
+    ev = _p2_evals_impl(*tabs, n_half, mode, single_inst)
+    return ev, tabs

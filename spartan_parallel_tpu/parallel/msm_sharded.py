@@ -27,12 +27,12 @@ from ..ops import curve, msm
 
 def _local_window_sums(points, digits):
     """points (n_local, 4, 16), digits (32, B, n_local) ->
-    (32, B, 4, 16)."""
-    identity_row = jnp.asarray(curve.identity((msm.NUM_BUCKETS + 1,)))
+    (32, B, 4, 16): the sort + prefix-scan window pipeline (ops/msm.py)
+    on this chip's slice."""
 
     def window_body(_, keys_bn):
         sums = jax.vmap(
-            lambda k: msm._window_sum(k, points, identity_row))(keys_bn)
+            lambda k: msm._window_sum_sorted(points, k))(keys_bn)
         return None, sums
 
     _, out = jax.lax.scan(window_body, None, digits)

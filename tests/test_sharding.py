@@ -57,6 +57,41 @@ def test_dryrun_step_runs():
     assert evals.shape == (3, 16)
 
 
+def test_sharded_nizk_bit_exact_vs_single_device():
+    """The full NIZK prover under an 8-device mesh produces byte-identical
+    proofs vs one device (exact integer reductions make collective order
+    irrelevant — SURVEY.md §2.3 determinism constraint)."""
+    from spartan_parallel_tpu import serialization as ser
+    from spartan_parallel_tpu.models.nizk import NIZK, NIZKGens
+    from spartan_parallel_tpu.models.r1csinstance import (
+        produce_synthetic_r1cs,
+    )
+    from spartan_parallel_tpu.parallel.context import prover_mesh
+    from spartan_parallel_tpu.parallel.mesh import make_mesh
+    from spartan_parallel_tpu.utils.random_tape import RandomTape
+    from spartan_parallel_tpu.utils.transcript import Transcript
+
+    n = 64
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        1, [1], n, n, 4, seed=11)
+    gens = NIZKGens(n, n)
+
+    def prove_once():
+        tape = RandomTape(b"proof", seed=b"\x07" * 32)
+        tp = Transcript(b"shard_nizk")
+        return NIZK.prove(inst, vars_mat[0][0], inputs_mat[0][0], gens,
+                          tp, random_tape=tape)
+
+    single = ser.serialize(prove_once())
+    with prover_mesh(make_mesh(8)):
+        sharded_proof = prove_once()
+    sharded = ser.serialize(sharded_proof)
+    assert single == sharded, "sharded prove must be bit-exact"
+
+    tv = Transcript(b"shard_nizk")
+    sharded_proof.verify(inst, inputs_mat[0][0], gens, tv)
+
+
 def test_graft_entry():
     import importlib.util
     import pathlib
