@@ -133,10 +133,151 @@ def bench_nizk(logn: int) -> None:
     }))
 
 
+def bench_snark(logn: int) -> None:
+    """BASELINE config 2: upstream-style SNARK+SPARK on synthetic R1CS.
+
+    Reference: SNARK::prove 39.13 s at 2^20 on one CPU core
+    (README.md:155 — 4.44 s SAT + 34.29 s SPARK), scaled linearly."""
+    import time
+
+    from spartan_parallel_tpu import serialization as ser
+    from spartan_parallel_tpu.models.r1csinstance import (
+        produce_synthetic_r1cs,
+    )
+    from spartan_parallel_tpu.models.snark_single import (
+        SpartanSNARK,
+        SpartanSNARKGens,
+    )
+    from spartan_parallel_tpu.utils.transcript import Transcript
+
+    n = 1 << logn
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        1, [1], n, n, 10, seed=1)
+    gens = SpartanSNARKGens(n, n, max(
+        m.get_num_nz_entries()
+        for m in (inst.A_list + inst.B_list + inst.C_list)))
+
+    t0 = time.perf_counter()
+    comm, decomm = SpartanSNARK.encode(inst, gens)
+    encode_s = time.perf_counter() - t0
+
+    def prove_once():
+        t0 = time.perf_counter()
+        tp = Transcript(b"snark_bench")
+        proof = SpartanSNARK.prove(inst, comm, decomm, vars_mat[0][0],
+                                   inputs_mat[0][0], gens, tp)
+        return proof, time.perf_counter() - t0
+
+    if not os.environ.get("BENCH_COLD"):
+        _, cold_s = prove_once()
+        print(json.dumps({"aux": "snark_cold_prove_s",
+                          "value": round(cold_s, 3)}), file=sys.stderr)
+    proof, prove_s = prove_once()
+
+    t0 = time.perf_counter()
+    tv = Transcript(b"snark_bench")
+    proof.verify(comm, inputs_mat[0][0], gens, tv)
+    verify_s = time.perf_counter() - t0
+    print(json.dumps({
+        "aux": "snark_detail", "encode_s": round(encode_s, 3),
+        "verify_s": round(verify_s, 3),
+        "proof_compressed_bytes": ser.compressed_size(proof),
+        "reference_proof_bytes_2^20": 141768,
+    }), file=sys.stderr)
+
+    baseline_s = 39.130 * n / (1 << 20)  # README.md:155, linear scaling
+    print(json.dumps({
+        "metric": f"snark_prove_2^{logn}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+    }))
+
+
+def bench_dp(log_sigma_q: int) -> None:
+    """BASELINE config 4: data-parallel R1CSProof over this host's chips.
+
+    P=4 instances with skewed execution counts (Q = [Smax, Smax/4,
+    Smax/16, Smax/16] summing to ~2^log_sigma_q), each 2^10 constraints —
+    the spartan_parallel shape (many executions of small blocks).
+    Baseline: the reference R1CSProof::prove is linear in total work
+    SUM_p Q_p * num_cons; 4.44 s covers 2^20 (README.md:141)."""
+    import time
+
+    import jax
+
+    from spartan_parallel_tpu.models.r1csproof import R1CSGens, R1CSProof
+    from spartan_parallel_tpu.models.r1csinstance import (
+        produce_synthetic_r1cs,
+    )
+    from spartan_parallel_tpu.models.r1csproof import (
+        ProverWitnessSecInfo,
+    )
+    from spartan_parallel_tpu.parallel.context import prover_mesh
+    from spartan_parallel_tpu.parallel.mesh import make_mesh
+    from spartan_parallel_tpu.utils.random_tape import RandomTape
+    from spartan_parallel_tpu.utils.transcript import Transcript
+
+    ncons = 1 << 10
+    smax = max(1, (1 << log_sigma_q) // ncons // 2)
+    num_proofs = [smax, max(1, smax // 4), max(1, smax // 16),
+                  max(1, smax // 16)]
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        4, num_proofs, ncons, ncons, 10, seed=2)
+    # gens cover the largest committed witness poly: Q_max * per-sec vars
+    gens = R1CSGens(b"gens_r1cs_sat", ncons, smax * ncons)
+    sigma_work = sum(num_proofs) * ncons
+
+    io_mat = [[[1] + list(io) + [0] * (ncons - 1 - len(io))
+               for io in inputs_mat[p]] for p in range(4)]
+    vars_sec = ProverWitnessSecInfo.from_scalars([ncons] * 4, vars_mat)
+    io_sec = ProverWitnessSecInfo.from_scalars([ncons] * 4, io_mat)
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+    def prove_once():
+        t0 = time.perf_counter()
+        tp = Transcript(b"dp_bench")
+        tape = RandomTape(b"proof")
+        ctx = prover_mesh(mesh) if mesh is not None else None
+        if ctx is not None:
+            with ctx:
+                out = R1CSProof.prove(
+                    4, max(num_proofs), num_proofs, ncons, [ncons] * 4,
+                    [vars_sec, io_sec], inst, gens, tp, tape)
+        else:
+            out = R1CSProof.prove(
+                4, max(num_proofs), num_proofs, ncons, [ncons] * 4,
+                [vars_sec, io_sec], inst, gens, tp, tape)
+        return out, time.perf_counter() - t0
+
+    if not os.environ.get("BENCH_COLD"):
+        _, cold_s = prove_once()
+        print(json.dumps({"aux": "dp_cold_prove_s",
+                          "value": round(cold_s, 3)}), file=sys.stderr)
+    _, prove_s = prove_once()
+
+    baseline_s = 4.442 * sigma_work / (1 << 20)
+    print(json.dumps({
+        "metric": f"dp_r1cs_prove_sigma_work_2^{log_sigma_q}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+        "n_devices": n_dev,
+    }))
+
+
 def main() -> None:
     nizk_logn = os.environ.get("BENCH_NIZK_LOGN")
+    snark_logn = os.environ.get("BENCH_SNARK_LOGN")
+    dp_logn = os.environ.get("BENCH_DP_LOGN")
     if nizk_logn:
         bench_nizk(int(nizk_logn))
+    elif snark_logn:
+        bench_snark(int(snark_logn))
+    elif dp_logn:
+        bench_dp(int(dp_logn))
     else:
         bench_msm(int(os.environ.get("BENCH_MSM_LOGN", "16")))
 

@@ -46,6 +46,7 @@ from .models.snark import (
     ComputationCommitment,
     ComputationDecommitment,
 )
+from .models.snark_single import SpartanSNARK, SpartanSNARKGens
 from .utils.errors import ProofVerifyError, R1CSError
 from .utils.transcript import Transcript
 
@@ -85,7 +86,8 @@ InputsAssignment = Assignment
 MemsAssignment = Assignment
 
 __all__ = [
-    "SNARK", "SNARKGens", "NIZK", "NIZKGens", "Instance", "R1CSGens",
+    "SNARK", "SNARKGens", "NIZK", "NIZKGens", "SpartanSNARK",
+    "SpartanSNARKGens", "Instance", "R1CSGens",
     "Assignment", "VarsAssignment", "InputsAssignment", "MemsAssignment",
     "ComputationCommitment", "ComputationDecommitment", "Scalar",
     "Transcript", "ProofVerifyError", "R1CSError", "gen_block_inst",

@@ -24,17 +24,20 @@ from .consts import (
     SQRT_M1,
 )
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native",
-                    "ristretto.c")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "native")
+_SRCS = [os.path.join(_NATIVE_DIR, f) for f in ("ristretto.c", "keccak.c")]
 
 _lib = None
 _tried = False
 
 
 def _build() -> str | None:
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256()
+    for path in _SRCS:
+        with open(path, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     cache_dir = os.environ.get("SPARTAN_NATIVE_CACHE",
                                os.path.join(tempfile.gettempdir(),
                                             "spartan_native"))
@@ -44,12 +47,12 @@ def _build() -> str | None:
         return so_path
     cc = os.environ.get("CC", "cc")
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC]
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, *_SRCS]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except Exception:
         try:
-            cmd = [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC]
+            cmd = [cc, "-O2", "-shared", "-fPIC", "-o", tmp, *_SRCS]
             subprocess.run(cmd, check=True, capture_output=True)
         except Exception:
             return None
@@ -78,6 +81,7 @@ def get() -> "ctypes.CDLL | None":
     lib.pt_decompress.argtypes = [u8p, u8p]
     lib.pt_decompress.restype = ctypes.c_int
     lib.pt_from_uniform.argtypes = [u8p, u8p]
+    lib.keccak_f1600.argtypes = [u8p]
 
     consts = b"".join(
         v.to_bytes(32, "little")

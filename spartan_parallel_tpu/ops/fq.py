@@ -52,9 +52,7 @@ def const(x: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Device ops (all inputs/outputs Montgomery-form canonical limbs)
 # --------------------------------------------------------------------------
-def redc(t):
-    """Montgomery reduction: (..., 32) canonical limbs t < L*2^256
-    -> (..., 16) limbs of t*R^{-1} mod L."""
+def _redc_impl(t):
     t_lo = t[..., :16]
     m = lb.mul_lo(t_lo, jnp.asarray(LPRIME_LIMBS, jnp.uint32))
     w = lb.mul_wide(m, jnp.broadcast_to(jnp.asarray(L_LIMBS, jnp.uint32), m.shape))
@@ -64,24 +62,54 @@ def redc(t):
     return lb.cond_sub(s[..., 16:], L_LIMBS)
 
 
-def mul(a, b):
-    """Montgomery product (a*b*R^{-1}): the field multiply."""
-    return redc(lb.mul_wide(a, b))
+def _mul_impl(a, b):
+    return _redc_impl(lb.mul_wide(a, b))
 
 
-def square(a):
-    return mul(a, a)
-
-
-def add(a, b):
+def _add_impl(a, b):
     s = lb.carry_prop(a + b, 16)  # a+b < 2L < 2^256
     return lb.cond_sub(s, L_LIMBS)
 
 
-def sub(a, b):
+def _sub_impl(a, b):
     t = lb.add_limbs(a, jnp.asarray(L_LIMBS, jnp.uint32), 16)  # a + L < 2^256
     d = lb.sub_limbs_nonneg(t, b)
     return lb.cond_sub(d, L_LIMBS)
+
+
+def _eager_dispatch(impl, name):
+    """Wrap an op so CONCRETE (non-traced) calls go through the AOT
+    kernel cache — host-driver code sprinkles small fq calls between
+    kernels, and without this each one re-traces (and on cache-miss
+    re-compiles) every call. Traced calls inline into the caller's jit
+    as before."""
+    from jax.core import Tracer
+
+    from .kernel_cache import cached_kernel
+
+    cached = cached_kernel(name=name)(impl)
+
+    def op(*args):
+        if any(isinstance(a, Tracer) for a in args):
+            return impl(*args)
+        return cached(*args)
+
+    op.__name__ = name
+    op.__doc__ = impl.__doc__
+    return op
+
+
+redc = _eager_dispatch(_redc_impl, "fq_redc")
+redc.__doc__ = """Montgomery reduction: (..., 32) canonical limbs
+t < L*2^256 -> (..., 16) limbs of t*R^{-1} mod L."""
+mul = _eager_dispatch(_mul_impl, "fq_mul")
+mul.__doc__ = "Montgomery product (a*b*R^{-1}): the field multiply."
+add = _eager_dispatch(_add_impl, "fq_add")
+sub = _eager_dispatch(_sub_impl, "fq_sub")
+
+
+def square(a):
+    return mul(a, a)
 
 
 def neg(a):
@@ -115,11 +143,7 @@ def select(cond, a, b):
 _CHUNK = 1 << 15  # column sums stay < 2^15 * 2^16 = 2^31 in uint32
 
 
-def sum_reduce(a, axis: int = 0):
-    """Sum of field elements along an axis (Montgomery form in/out).
-
-    Lazy column accumulation (uint32 never overflows for <= 2^15 addends),
-    then one REDC + re-scale. Larger axes are reduced in chunks."""
+def _sum_reduce_impl(a, axis: int = 0):
     a = jnp.moveaxis(a, axis, 0)
     n = a.shape[0]
     while n > _CHUNK:
@@ -152,6 +176,30 @@ def resolve_lazy(cols):
     ))
 
 
-def dot(a, b, axis: int = 0):
-    """Inner product sum(a*b) along axis."""
-    return sum_reduce(mul(a, b), axis=axis)
+def _dot_impl(a, b, axis: int = 0):
+    return _sum_reduce_impl(_mul_impl(a, b), axis=axis)
+
+
+def _eager_dispatch_ax(impl, name):
+    """Like _eager_dispatch but with a static trailing `axis` kwarg."""
+    from jax.core import Tracer
+
+    from .kernel_cache import cached_kernel
+
+    cached = cached_kernel(static_argnames=("axis",), name=name)(impl)
+
+    def op(*args, axis: int = 0):
+        if any(isinstance(a, Tracer) for a in args):
+            return impl(*args, axis=axis)
+        return cached(*args, axis=axis)
+
+    op.__name__ = name
+    return op
+
+
+sum_reduce = _eager_dispatch_ax(_sum_reduce_impl, "fq_sum_reduce")
+sum_reduce.__doc__ = """Sum of field elements along an axis (Montgomery
+form in/out). Lazy column accumulation (uint32 never overflows for
+<= 2^15 addends), then one REDC + re-scale; larger axes chunked."""
+dot = _eager_dispatch_ax(_dot_impl, "fq_dot")
+dot.__doc__ = "Inner product sum(a*b) along axis."

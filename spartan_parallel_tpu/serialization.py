@@ -210,6 +210,14 @@ SCHEMAS = {
              ("comm_vars", "PolyCommitment"),
              ("r", ("tuple", (_vec("scalar"), _vec("scalar"),
                               _vec("scalar"), _vec("scalar"))))],
+    # Upstream-style single-instance SNARK (models/snark_single.py);
+    # same 4-vector challenge caveat as NIZK.
+    "SpartanSNARK": [("r1cs_sat_proof", "R1CSProof"),
+                     ("comm_vars", "PolyCommitment"),
+                     ("inst_evals", ("arr", "scalar", 3)),
+                     ("r1cs_eval_proof", "R1CSEvalProof"),
+                     ("r", ("tuple", (_vec("scalar"), _vec("scalar"),
+                                      _vec("scalar"), _vec("scalar"))))],
 }
 
 
@@ -239,6 +247,7 @@ def _classes():
     from .models import r1csproof as rp
     from .models import sigma as sg
     from .models import snark as sn
+    from .models import snark_single as ss
     from .models import sparse_mlpoly as sp
     from .models import sumcheck as sc
     from .models import unipoly as up
@@ -271,6 +280,7 @@ def _classes():
         "ShiftProofs": sn.ShiftProofs,
         "SNARK": sn.SNARK,
         "NIZK": nz.NIZK,
+        "SpartanSNARK": ss.SpartanSNARK,
     }
 
 

@@ -60,7 +60,20 @@ def keccak_f1600(lanes: list) -> list:
 
 
 def permute_state(state: bytearray) -> None:
-    """Apply Keccak-f[1600] to a 200-byte state, little-endian lanes."""
+    """Apply Keccak-f[1600] to a 200-byte state, little-endian lanes.
+
+    Uses the native C permutation (native/keccak.c) when available —
+    the transcript flushes the sponge on every challenge, making this
+    the host-side fixed cost per proof — with the pure-Python
+    implementation above as fallback and validation oracle."""
+    import ctypes
+
+    from ..core import native
+
+    lib = native.get()
+    if lib is not None:
+        lib.keccak_f1600((ctypes.c_char * 200).from_buffer(state))
+        return
     lanes = [int.from_bytes(state[8 * i : 8 * i + 8], "little") for i in range(25)]
     lanes = keccak_f1600(lanes)
     for i, lane in enumerate(lanes):
