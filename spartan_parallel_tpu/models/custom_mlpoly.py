@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.field import Scalar
-from ..ops import fq
+from ..ops import fq, limbs as lb
 from ..ops.sumcheck import (
     MODE_P,
     MODE_Q,
@@ -98,10 +98,13 @@ class DensePolynomialPqx:
                         vals.append(int(row[y]))
                         idx.append((qp[q], w, yp[y]))
             if vals:
-                enc = fq.encode(vals)
+                enc = lb.ints_to_limbs(vals)  # canonical limbs (host-cheap)
                 ii = np.array(idx)
                 arr[p, ii[:, 0], ii[:, 1], ii[:, 2]] = enc
-        return DensePolynomialPqx(jnp.asarray(arr), num_proofs, num_inputs)
+        # One device-wide REDC-mul by R^2 Montgomery-scales the whole
+        # tensor (zeros stay zero) — avoids O(n) host bigint multiplies.
+        return DensePolynomialPqx(fq.from_canonical(jnp.asarray(arr)),
+                                  num_proofs, num_inputs)
 
     @staticmethod
     def from_dense(Zm, num_proofs, num_inputs) -> "DensePolynomialPqx":

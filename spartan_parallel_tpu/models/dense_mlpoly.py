@@ -50,8 +50,11 @@ def next_pow2(n: int) -> int:
 # Host <-> device scalar codecs
 # --------------------------------------------------------------------------
 def scalars_to_mont(values) -> jnp.ndarray:
-    """list of Scalar/int -> (n, 16) Montgomery device array."""
-    return jnp.asarray(fq.encode([int(v) for v in values]))
+    """list of Scalar/int -> (n, 16) Montgomery device array.
+
+    The R-scaling runs on device (one REDC-mul by R^2) — host cost is
+    one int.to_bytes per element (ops/fq.py encode_to_device)."""
+    return fq.encode_to_device(values)
 
 
 def mont_to_scalars(a) -> list:

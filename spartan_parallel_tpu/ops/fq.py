@@ -49,6 +49,19 @@ def const(x: int) -> np.ndarray:
     return lb.int_to_limbs((int(x) % L) * R % L)
 
 
+def encode_to_device(xs):
+    """list of ints/Scalars (< 2^256) -> (n, 16) Montgomery DEVICE array.
+
+    Uploads raw canonical limbs and performs the R-scaling on device
+    (from_canonical = one REDC-mul by R^2, valid for any input < 2^256),
+    replacing the O(n) host bigint multiply of encode() — the witness
+    upload path at 2^20 variables."""
+    import jax.numpy as jnp
+
+    return from_canonical(jnp.asarray(lb.ints_to_limbs(
+        [int(x) for x in xs])))
+
+
 # --------------------------------------------------------------------------
 # Device ops (all inputs/outputs Montgomery-form canonical limbs)
 # --------------------------------------------------------------------------

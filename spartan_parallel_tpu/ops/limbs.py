@@ -40,7 +40,18 @@ def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
 
 
 def ints_to_limbs(xs, n: int = NLIMBS) -> np.ndarray:
-    """list/iterable of ints -> (len, n) uint32."""
+    """list/iterable of ints -> (len, n) uint32.
+
+    Fast path for values < 2^(16n): serialize via int.to_bytes (C loop)
+    and reinterpret as little-endian u16 — ~30x faster than per-limb
+    Python bigint masking at 2^20 elements (the witness-upload hot path)."""
+    try:
+        nbytes = 2 * n
+        buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+        a16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n)
+        return a16.astype(np.uint32)
+    except OverflowError:
+        pass  # some value needs > 16n bits before reduction — generic path
     arr = np.zeros((len(xs), n), dtype=np.uint32)
     cur = np.array([int(x) for x in xs], dtype=object)
     for i in range(n):
@@ -58,6 +69,12 @@ def limbs_to_int(a) -> int:
 def limbs_to_ints(a) -> list:
     a = np.asarray(a)
     flat = a.reshape(-1, a.shape[-1])
+    if flat.dtype == np.uint32 and (flat.size == 0 or flat.max() < 0x10000):
+        # canonical 16-bit limbs: one from_bytes per element (C loop)
+        buf = np.ascontiguousarray(flat.astype("<u2")).tobytes()
+        nb = 2 * flat.shape[1]
+        return [int.from_bytes(buf[i:i + nb], "little")
+                for i in range(0, len(buf), nb)]
     out = np.zeros(flat.shape[0], dtype=object)
     for i in range(flat.shape[1] - 1, -1, -1):
         out = (out << 16) + flat[:, i].astype(object)

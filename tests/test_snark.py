@@ -15,13 +15,18 @@ from spartan_parallel_tpu.core.consts import L
 
 
 @pytest.fixture(autouse=True)
-def _eager(monkeypatch):
-    """The 9-stage pipeline at test sizes touches hundreds of distinct jit
-    shapes; compiling them all dwarfs the actual math. Run eagerly, with
-    the Kogge-Stone carry (the scan carry dispatches a python-level loop
-    per limb op when jit is disabled)."""
-    monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
-    with jax.disable_jit():
+def _mode(monkeypatch):
+    """Jitted by default: the AOT kernel cache (ops/kernel_cache.py)
+    makes warm runs take ~1 min; the first-ever run on a machine
+    compiles the pipeline's shape classes once (tens of minutes) and
+    persists them. Set SPARTAN_SNARK_TEST_EAGER=1 to debug eagerly."""
+    import os
+
+    if os.environ.get("SPARTAN_SNARK_TEST_EAGER"):
+        monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
+        with jax.disable_jit():
+            yield
+    else:
         yield
 from spartan_parallel_tpu.models.instance import (
     gen_block_inst,
