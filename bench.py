@@ -130,6 +130,23 @@ def bench_nizk(logn: int) -> None:
         "reference_proof_bytes_2^20": 48134,
     }), file=sys.stderr)
 
+    # roofline: phase-1 sumcheck sweeps the full (1,1,N) buffers every
+    # round (fixed-shape discipline): per round ~3 tables * 3 eval points
+    # * (1 g-mul + 1 contraction mul) + 3 binds ~= 12N field muls; logN+
+    # rounds. Each field mul ~= 700 int32 VPU ops (bench header).
+    from spartan_parallel_tpu.utils.timer import records
+    sc1 = records.get("prove_sc_phase_one")
+    if sc1:
+        rounds = logn  # x rounds dominate (q=p=0 at P=Q=1)
+        fmuls = 12 * n * rounds
+        print(json.dumps({
+            "aux": "sc1_roofline", "sc1_s": round(sc1, 3),
+            "field_muls_per_s": round(fmuls / sc1 / 1e6, 1),
+            "unit": "Mmul/s",
+            "int32_ops_per_s_est": round(fmuls * 700 / sc1 / 1e12, 3),
+            "unit2": "Tops/s",
+        }), file=sys.stderr)
+
     baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
     print(json.dumps({
         "metric": f"nizk_prove_2^{logn}",

@@ -52,9 +52,14 @@ def next_pow2(n: int) -> int:
 def scalars_to_mont(values) -> jnp.ndarray:
     """list of Scalar/int -> (n, 16) Montgomery device array.
 
-    The R-scaling runs on device (one REDC-mul by R^2) — host cost is
-    one int.to_bytes per element (ops/fq.py encode_to_device)."""
-    return fq.encode_to_device(values)
+    Bulk inputs: the R-scaling runs on device (one REDC-mul by R^2, host
+    cost one int.to_bytes per element — ops/fq.py encode_to_device).
+    Tiny inputs (per-round challenges): host bigint scaling avoids an
+    extra device kernel dispatch on the sumcheck round path."""
+    vals = values if isinstance(values, list) else list(values)
+    if len(vals) < 64:
+        return jnp.asarray(fq.encode(vals))
+    return fq.encode_to_device(vals)
 
 
 def mont_to_scalars(a) -> list:

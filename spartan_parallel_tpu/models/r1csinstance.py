@@ -191,6 +191,32 @@ class R1CSInstance:
             )
         return tuple(res)
 
+    def multiply_vec_block_classed(self, p0: int, num_proofs_c: int,
+                                   max_num_cons: int, z_nat_c):
+        """Az/Bz/Cz for ONE q-size class of instances.
+
+        z_nat_c: (P_c, Q_c, W, Y, 16) natural-order class slice of z.
+        Returns three (P_c, Q_c, X, 16) tensors with q bit-reversed
+        WITHIN the class and x bit-reversed (the class layout of
+        ops/sumcheck.py pc_* kernels). No p padding — classes never
+        fold p before the merge."""
+        P_c, Q_c = int(z_nat_c.shape[0]), int(z_nat_c.shape[1])
+        assert num_proofs_c == Q_c
+        out = [
+            jnp.zeros((P_c, Q_c, max_num_cons, 16), jnp.uint32)
+            for _ in range(3)
+        ]
+        for i in range(P_c):
+            p_inst = 0 if self.num_instances == 1 else p0 + i
+            zp = z_nat_c[i].reshape(Q_c, -1, 16)
+            for k, mats in enumerate(
+                    (self.A_list, self.B_list, self.C_list)):
+                mz = mats[p_inst].multiply_vec_batched(zp, max_num_cons)
+                out[k] = out[k].at[i].set(mz)
+        qperm = rev_perm(Q_c)
+        xperm = rev_perm(max_num_cons)
+        return tuple(out[k][:, qperm][:, :, xperm] for k in range(3))
+
     # --- phase-2 ABC tables (r1csinstance.rs:484-540) ----------------------
     def compute_eval_table_sparse_disjoint_rounds(
             self, num_instances, num_rows, num_segs, max_num_cols, num_cols,

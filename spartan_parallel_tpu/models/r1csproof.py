@@ -22,7 +22,7 @@ from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
 from ..ops import fq
 from ..ops.kernel_cache import cached_kernel
-from ..ops.sumcheck import rev_perm
+from ..ops.sumcheck import fold_chain, rev_perm
 from ..parallel.context import shard_big
 from ..utils.errors import ProofVerifyError
 from ..utils.timer import Timer
@@ -233,6 +233,48 @@ def _permute_qy_dev(z, qperm, yperm):
     return jnp.take(jnp.take(z, qperm, axis=1), yperm, axis=3)
 
 
+def q_classes(num_proofs):
+    """Partition instances (sorted desc by num_proofs) into contiguous
+    q-size classes: [(p0, P_c, Q_c)]. Returns None when unsorted (caller
+    falls back to the dense layout)."""
+    for i in range(len(num_proofs) - 1):
+        if num_proofs[i] < num_proofs[i + 1]:
+            return None
+    classes = []
+    p0 = 0
+    while p0 < len(num_proofs):
+        q = num_proofs[p0]
+        p1 = p0
+        while p1 < len(num_proofs) and num_proofs[p1] == q:
+            p1 += 1
+        classes.append((p0, p1 - p0, q))
+        p0 = p1
+    return classes
+
+
+def assemble_z_classed(classes, num_proofs, num_inputs, max_num_inputs,
+                       witness_secs):
+    """Per-class dense natural-order z tensors: list of
+    (P_c, Q_c, W, Y_max, 16) device arrays — total storage
+    O(sum_p Q_p * W * Y) instead of assemble_z's O(P * Qmax * W * Y)."""
+    W = next_pow2(len(witness_secs))
+    outs = []
+    for (p0, P_c, Q_c) in classes:
+        z = np.zeros((P_c, Q_c, W, max_num_inputs, 16), np.uint32)
+        for w, ws in enumerate(witness_secs):
+            for i in range(P_c):
+                p = p0 + i
+                p_w = 0 if len(ws.w_mat) == 1 else p
+                mat = np.asarray(ws.w_mat[p_w])
+                ni = min(ws.num_inputs[p_w], num_inputs[p])
+                if mat.shape[0] == 1:
+                    z[i, :, w, :ni] = mat[0, :ni][None]
+                else:
+                    z[i, :, w, :ni] = mat[:Q_c, :ni]
+        outs.append(jnp.asarray(z))
+    return outs
+
+
 def assemble_z(num_instances, num_proofs, max_num_proofs, num_inputs,
                max_num_inputs, witness_secs):
     """Build the dense natural-order z tensor (r1csproof.rs:277-294).
@@ -293,10 +335,23 @@ class R1CSProof:
             block_num_cons = list(inst.get_inst_num_cons())
 
         # z assembly (natural order) --------------------------------------
+        # Skewed execution counts use the q-size-classed layout
+        # (O(sum Q_i) storage, VERDICT item 7 / custom_dense_mlpoly.rs
+        # semantics); uniform counts keep the single dense tensor.
+        import os as _os
+        classes = q_classes(list(num_proofs)) if (
+            len(set(num_proofs)) > 1
+            and not _os.environ.get("SPARTAN_NO_QCLASS")) else None
         timer = Timer("prove_z_mat_gen")
-        z_nat = shard_big(
-            assemble_z(num_instances, num_proofs, max_num_proofs,
-                       num_inputs, max_num_inputs, witness_secs), 3)
+        if classes is not None:
+            z_class = [shard_big(zc, 3) for zc in assemble_z_classed(
+                classes, num_proofs, num_inputs, max_num_inputs,
+                witness_secs)]
+            z_nat = None
+        else:
+            z_nat = shard_big(
+                assemble_z(num_instances, num_proofs, max_num_proofs,
+                           num_inputs, max_num_inputs, witness_secs), 3)
         timer.stop()
 
         nrp = ceil_log2(next_pow2(num_instances))
@@ -313,23 +368,39 @@ class R1CSProof:
         poly_tau_p = EqPolynomial(tau_p).evals_dev()
         poly_tau_q = EqPolynomial(tau_q).evals_dev()
         poly_tau_x = shard_big(EqPolynomial(tau_x).evals_dev(), 0)
-        poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_block(
-            num_instances, list(num_proofs), max_num_proofs,
-            list(num_inputs), max_num_inputs, num_cons, block_num_cons,
-            z_nat)
+        if classes is not None:
+            class_tensors = []
+            for (p0, P_c, Q_c), znc in zip(classes, z_class):
+                Bc, Cc, Dc = inst.multiply_vec_block_classed(
+                    p0, Q_c, num_cons, znc)
+                class_tensors.append((p0, shard_big(Bc, 2),
+                                      shard_big(Cc, 2), shard_big(Dc, 2)))
+        else:
+            poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_block(
+                num_instances, list(num_proofs), max_num_proofs,
+                list(num_inputs), max_num_inputs, num_cons, block_num_cons,
+                z_nat)
         timer.stop()
 
         # Sumcheck 1: eq(p,q,x) * (Az*Bz - Cz) == 0 ------------------------
         timer_sc1 = Timer("prove_sc_phase_one")
-        (sc_proof_phase1, rx_all, claims_phase1, blind_claim_postsc1) = \
-            ZKSumcheckInstanceProof.prove_cubic_with_additive_term_disjoint_rounds(
-                _ZERO, _ZERO, nrx + nrq + nrp, nrx, nrq, nrp,
-                poly_tau_p, poly_tau_q, poly_tau_x,
-                shard_big(poly_Az.Zm[:, :, 0], 2),
-                shard_big(poly_Bz.Zm[:, :, 0], 2),
-                shard_big(poly_Cz.Zm[:, :, 0], 2),
-                gens.gens_sc.gens_1, gens.gens_sc.gens_4,
-                transcript, random_tape)
+        if classes is not None:
+            (sc_proof_phase1, rx_all, claims_phase1, blind_claim_postsc1) = \
+                ZKSumcheckInstanceProof.prove_phase1_classed(
+                    _ZERO, _ZERO, nrx + nrq + nrp, nrx, nrq, nrp,
+                    poly_tau_p, poly_tau_q, poly_tau_x, class_tensors,
+                    gens.gens_sc.gens_1, gens.gens_sc.gens_4,
+                    transcript, random_tape)
+        else:
+            (sc_proof_phase1, rx_all, claims_phase1, blind_claim_postsc1) = \
+                ZKSumcheckInstanceProof.prove_cubic_with_additive_term_disjoint_rounds(
+                    _ZERO, _ZERO, nrx + nrq + nrp, nrx, nrq, nrp,
+                    poly_tau_p, poly_tau_q, poly_tau_x,
+                    shard_big(poly_Az.Zm[:, :, 0], 2),
+                    shard_big(poly_Bz.Zm[:, :, 0], 2),
+                    shard_big(poly_Cz.Zm[:, :, 0], 2),
+                    gens.gens_sc.gens_1, gens.gens_sc.gens_4,
+                    transcript, random_tape)
         timer_sc1.stop()
 
         tau_claim = claims_phase1[0]
@@ -403,14 +474,47 @@ class R1CSProof:
         timer.stop()
 
         timer = Timer("prove_z_gen")
-        qperm = rev_perm(max_num_proofs)
-        Z_dense = _permute_qy_dev(z_nat, jnp.asarray(qperm),
-                                  jnp.asarray(yperm))
-        Z_poly = DensePolynomialPqx(Z_dense, list(num_proofs),
-                                    list(num_inputs))
+        if classes is not None:
+            # per-class q binding: fold the class's own log2(Q_c)
+            # challenges, scale by prod(1 - rq_rev[i]) for the skipped
+            # rounds (the zero-padded dense fold's degenerate form; the
+            # verifier's mirror is the (1 - rq) product at
+            # r1csproof.rs:836-839), then concatenate along p.
+            zparts = []
+            for (p0, P_c, Q_c), znc in zip(classes, z_class):
+                qperm_c = rev_perm(Q_c)
+                Zc = _permute_qy_dev(znc, jnp.asarray(qperm_c),
+                                     jnp.asarray(yperm))
+                lq = ceil_log2(Q_c)
+                if lq:
+                    Zc = fold_chain(Zc, scalars_to_mont(rq_rev[:lq]),
+                                    axis=1)
+                Zc = Zc[:, :1]
+                u_c = _ONE
+                for i in range(lq, nrq):
+                    u_c = u_c * (_ONE - rq_rev[i])
+                if u_c != _ONE:
+                    um = scalars_to_mont([u_c])[0]
+                    Zc = fq.mul(jnp.broadcast_to(um, Zc.shape), Zc)
+                zparts.append(Zc)
+            Zcat = jnp.concatenate(zparts, axis=0)
+            P_pad = next_pow2(num_instances)
+            if Zcat.shape[0] < P_pad:
+                Zcat = jnp.concatenate([Zcat, jnp.zeros(
+                    (P_pad - Zcat.shape[0],) + Zcat.shape[1:],
+                    jnp.uint32)], axis=0)
+            Z_bound = Zcat[:, 0]
+        else:
+            qperm = rev_perm(max_num_proofs)
+            Z_dense = _permute_qy_dev(z_nat, jnp.asarray(qperm),
+                                      jnp.asarray(yperm))
+            Z_poly = DensePolynomialPqx(Z_dense, list(num_proofs),
+                                        list(num_inputs))
         timer.stop()
         timer = Timer("prove_z_bind")
-        Z_poly.bound_poly_vars_rq(rq_rev)
+        if classes is None:
+            Z_poly.bound_poly_vars_rq(rq_rev)
+            Z_bound = Z_poly.Zm[:, 0]
         timer.stop()
 
         eq_p_rp = EqPolynomial(list(rp_round1)).evals_dev()
@@ -420,7 +524,7 @@ class R1CSProof:
             ZKSumcheckInstanceProof.prove_cubic_disjoint_rounds(
                 claim_phase2, blind_claim_phase2, nry + nrw + nrp,
                 nry, nrw, nrp, single_inst, eq_p_rp, ABC_dense,
-                shard_big(Z_poly.Zm[:, 0], 2),
+                shard_big(Z_bound, 2),
                 gens.gens_sc.gens_1, gens.gens_sc.gens_4,
                 transcript, random_tape)
         timer_sc2.stop()

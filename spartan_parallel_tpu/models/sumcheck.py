@@ -214,6 +214,184 @@ class ZKSumcheckInstanceProof:
         return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs), r,
                 claims, blinds_evals[num_rounds - 1])
 
+    # --- phase-1 prover, q-size-classed (O(sum Q_i) storage) --------------
+    @staticmethod
+    def prove_phase1_classed(
+            claim: Scalar, blind_claim: Scalar, num_rounds: int,
+            num_rounds_x_max: int, num_rounds_q_max: int, num_rounds_p: int,
+            tp, tq, tx, classes, gens_1: MultiCommitGens,
+            gens_n: MultiCommitGens, transcript, random_tape):
+        """Transcript-identical to the dense phase-1 prover, but Az/Bz/Cz
+        live as per-Q-size-class tensors so prover memory/compute is
+        O(sum_p Q_p * X) like the reference's ragged Pqx storage
+        (custom_dense_mlpoly.rs:16-32), not O(P * Qmax * X).
+
+        classes: list of (p0, B_c, C_c, D_c) with B_c (P_c, Q_c, X, 16),
+        q bit-reversed WITHIN the class, instances sorted desc by Q_c so
+        classes partition the p axis contiguously starting at p0."""
+        import numpy as _np
+
+        assert num_rounds == num_rounds_x_max + num_rounds_q_max + \
+            num_rounds_p
+        blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
+
+        claim_per_round = claim
+        comm_claim_per_round = commit_scalar(
+            claim_per_round, blind_claim, gens_1).compress()
+
+        Qmax = int(tq.shape[0])
+        live_x = int(tx.shape[0])
+        live_q = Qmax
+        live_p = int(tp.shape[0])
+
+        # per-class mutable state
+        cstate = [{"p0": p0, "S": Qmax // int(B.shape[1]),
+                   "logq": int(B.shape[1]).bit_length() - 1,
+                   "T": (B, C, D), "pending": None}
+                  for (p0, B, C, D) in classes]
+        merged = None          # (tq1, tx1, Bm, Cm, Dm) for p rounds
+        pending_p = None
+
+        r, comm_polys, comm_evals, proofs = [], [], [], []
+        for j in range(num_rounds):
+            if j < num_rounds_x_max:
+                mode, qround = MODE_X, -1
+            elif j < num_rounds_x_max + num_rounds_q_max:
+                mode, qround = MODE_Q, j - num_rounds_x_max
+            else:
+                mode, qround = MODE_P, -1
+
+            if mode == MODE_P and merged is None:
+                # merge classes: final bind, compact, concat along p
+                parts = []
+                for st in cstate:
+                    B, C, D = st["T"]
+                    if st["pending"] is not None:
+                        rm_p, nh_p, m_p, act_p = st["pending"]
+                        B, C, D = sck.pc_bind(B, C, D, rm_p, nh_p,
+                                              mode=m_p, active=act_p)
+                    parts.append(jnp.stack(
+                        [B[:, :1, :1], C[:, :1, :1], D[:, :1, :1]], 0))
+                cat = jnp.concatenate(parts, axis=1)  # (3, P_real, 1, 1, 16)
+                P_pad = int(tp.shape[0])
+                if cat.shape[1] < P_pad:
+                    cat = jnp.concatenate([cat, jnp.zeros(
+                        (3, P_pad - cat.shape[1]) + cat.shape[2:],
+                        jnp.uint32)], axis=1)
+                merged = (tq[:1], tx[:1], cat[0], cat[1], cat[2])
+
+            if mode == MODE_P:
+                n_half = _np.uint32(live_p // 2)
+                tq1, tx1, Bm, Cm, Dm = merged
+                if pending_p is None:
+                    evd = sck.p1_evals(tp, tq1, tx1, Bm, Cm, Dm, n_half,
+                                       mode=MODE_P)
+                else:
+                    rm_p, nh_p = pending_p
+                    evd, (tp, tq1, tx1, Bm, Cm, Dm) = sck.p1_step(
+                        tp, tq1, tx1, Bm, Cm, Dm, rm_p, nh_p, n_half,
+                        mode_prev=MODE_P, mode=MODE_P)
+                    merged = (tq1, tx1, Bm, Cm, Dm)
+                e_parts = [mont_to_scalars(evd)]
+            else:
+                n_half_g = _np.uint32(
+                    (live_x if mode == MODE_X else live_q) // 2)
+                # fold the shared eq buffer bound by the PREVIOUS round
+                # (same-axis rounds only; cross-axis handled at entry)
+                e_parts = []
+                for st in cstate:
+                    active = mode == MODE_X or qround < st["logq"]
+                    # class-local n_half for active folds; the GLOBAL
+                    # n_half for inactive q rounds (it addresses the
+                    # folded global tq inside pc_evals)
+                    if mode == MODE_Q and active:
+                        nh_c = _np.uint32((1 << st["logq"]) >> (qround + 1))
+                    else:
+                        nh_c = n_half_g
+                    B, C, D = st["T"]
+                    if st["pending"] is None:
+                        evd = sck.pc_evals(tp, tq, tx, B, C, D, nh_c,
+                                           mode=mode, p0=st["p0"],
+                                           S=st["S"], active=active)
+                    else:
+                        rm_p, nh_p, m_p, act_p = st["pending"]
+                        evd, (B, C, D) = sck.pc_step(
+                            tp, tq, tx, B, C, D, rm_p, nh_p, nh_c,
+                            mode_prev=m_p, mode=mode, p0=st["p0"],
+                            S=st["S"], active_prev=act_p, active=active)
+                        st["T"] = (B, C, D)
+                    st["nh_c"] = nh_c
+                    st["active"] = active
+                    e_parts.append(mont_to_scalars(evd))
+
+            e0 = sum((p[0] for p in e_parts), _ZERO)
+            e2 = sum((p[1] for p in e_parts), _ZERO)
+            e3 = sum((p[2] for p in e_parts), _ZERO)
+            poly = UniPoly.from_evals([e0, claim_per_round - e0, e2, e3])
+            comm_poly = poly.commit(gens_n, blinds_poly[j]).compress()
+            transcript.append_point(b"comm_poly", comm_poly)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            rm = scalars_to_mont([r_j])[0]
+            if mode == MODE_P:
+                pending_p = (rm, _np.uint32(live_p // 2))
+                live_p //= 2
+            else:
+                for st in cstate:
+                    st["pending"] = (rm, st["nh_c"], mode, st["active"])
+                if mode == MODE_X:
+                    tx = sck.eq_fold(tx, rm, _np.uint32(live_x // 2))
+                    live_x //= 2
+                else:
+                    tq = sck.eq_fold(tq, rm, _np.uint32(live_q // 2))
+                    live_q //= 2
+
+            proof, eval_, comm_eval = ZKSumcheckInstanceProof._zk_round_tail(
+                poly, r_j, j, claim_per_round, comm_claim_per_round,
+                blind_claim, blinds_poly, blinds_evals, gens_1, gens_n,
+                transcript, random_tape)
+            proofs.append(proof)
+            claim_per_round = eval_
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        # final binds
+        if num_rounds_p == 0 and merged is None:
+            # (degenerate: no p rounds) merge now for the claims
+            parts = []
+            for st in cstate:
+                B, C, D = st["T"]
+                if st["pending"] is not None:
+                    rm_p, nh_p, m_p, act_p = st["pending"]
+                    B, C, D = sck.pc_bind(B, C, D, rm_p, nh_p, mode=m_p,
+                                          active=act_p)
+                parts.append(jnp.stack(
+                    [B[:, :1, :1], C[:, :1, :1], D[:, :1, :1]], 0))
+            cat = jnp.concatenate(parts, axis=1)
+            merged = (tq[:1], tx[:1], cat[0], cat[1], cat[2])
+        elif pending_p is not None:
+            rm_p, nh_p = pending_p
+            tq1, tx1, Bm, Cm, Dm = merged
+            tp, tq1, tx1, Bm, Cm, Dm = sck.p1_bind(
+                tp, tq1, tx1, Bm, Cm, Dm, rm_p, nh_p, mode=MODE_P)
+            merged = (tq1, tx1, Bm, Cm, Dm)
+
+        _tq1, _tx1, Bm, Cm, Dm = merged
+        tpv = mont_to_scalar(tp[0])
+        tqv = mont_to_scalar(tq[0])
+        txv = mont_to_scalar(tx[0])
+        claims = [
+            tpv * tqv * txv,
+            mont_to_scalar(Bm[0, 0, 0]),
+            mont_to_scalar(Cm[0, 0, 0]),
+            mont_to_scalar(Dm[0, 0, 0]),
+        ]
+        return (ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs), r,
+                claims, blinds_evals[num_rounds - 1])
+
     # --- phase-2 prover (sumcheck.rs:788-1065) ------------------------------
     @staticmethod
     def prove_cubic_disjoint_rounds(

@@ -89,8 +89,8 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
             ])
             key = hashlib.sha256(key_str.encode()).hexdigest()[:24]
             with _LOCK:
-                exp = _MEM.get(key)
-            if exp is None:
+                call = _MEM.get(key)
+            if call is None:
                 path = os.path.join(_CACHE_DIR, f"{fn_name}_{key}.bin")
                 if os.path.exists(path):
                     with open(path, "rb") as f:
@@ -104,9 +104,14 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
                     with open(tmp, "wb") as f:
                         f.write(data)
                     os.replace(tmp, path)
+                # jit the call wrapper: bare Exported.call re-processes
+                # args every invocation (~1 ms/call); the jitted wrapper
+                # dispatches through jax's C++ fast path (~0.02 ms) —
+                # sumcheck makes thousands of small eager calls per prove.
+                call = jax.jit(exp.call)
                 with _LOCK:
-                    _MEM[key] = exp
-            return exp.call(*args)
+                    _MEM[key] = call
+            return call(*args)
 
         wrapper.__wrapped_fn__ = fn
         return wrapper

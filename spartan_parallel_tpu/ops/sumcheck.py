@@ -276,6 +276,145 @@ def p2_bind(ep, ABC, Z, r, n_half, mode: int, single_inst: bool):
     return _p2_bind_impl(ep, ABC, Z, r, n_half, mode, single_inst)
 
 
+# --------------------------------------------------------------------------
+# Size-classed phase 1 (q axis grouped by next_pow2(Q_i); VERDICT item:
+# prover memory/compute O(sum Q_i * X), not O(P * Qmax * X)).
+#
+# Instances sorted desc by num_proofs partition into contiguous classes of
+# equal Q_c. Each class keeps its own (P_c, Q_c, X, 16) tensors with q
+# bit-reversed WITHIN the class. Equivalence with the dense zero-padded
+# layout: natural row q < Q_c sits at dense position rev_Qmax(q) =
+# rev_Qc(q) * S with S = Qmax / Q_c, so the class's dense positions are
+# exactly the stride-S slice of the global q axis, and the global eq_q
+# table restricted to the class is tq[::S][:Q_c] — which stays true after
+# every global fold while the class is active (n_half_global = S * n_half
+# _class is a multiple of S). A class is ACTIVE in the first log2(Q_c)
+# q-rounds (folding its own axis) and INACTIVE afterwards, where the dense
+# fold degenerates to T' = (1 - r) * T (the zero high half) — applied to
+# B, C, D individually, never as a combined scalar (g = B*C - D is not
+# homogeneous).
+#
+# Global eq buffers (tp, tq, tx) are shared across classes and folded ONCE
+# per round by `eq_fold`; class kernels take them read-only with static
+# (p0, S) slicing.
+# --------------------------------------------------------------------------
+@cached_kernel(static_argnames=("axis",))
+def eq_fold(t, r, n_half, axis: int = 0):
+    """Shared per-round fold of a global eq table buffer."""
+    return _fold_live(t, axis, n_half, r)
+
+
+def _pc_slices(tp, tq, B, p0: int, S: int):
+    Pc, Qc = B.shape[0], B.shape[1]
+    tp_c = jax.lax.slice_in_dim(tp, p0, p0 + Pc, axis=0)
+    tq_c = jax.lax.slice(tq, (0, 0), (S * Qc, tq.shape[1]), (S, 1))
+    return tp_c, tq_c
+
+
+def _pc_evals_impl(tp, tq, tx, B, C, D, n_half, mode: int, p0: int,
+                   S: int, active: bool):
+    """Evals contribution (3, 16) of ONE class.
+
+    n_half is CLASS-LOCAL for active q rounds / x rounds, GLOBAL for
+    inactive q rounds (where it addresses the folded global tq)."""
+    tp_c, tq_c = _pc_slices(tp, tq, B, p0, S)
+    if mode == MODE_Q and not active:
+        # class fully bound on q: single live row at class index 0
+        lo_B, lo_C, lo_D = B[:, :1, :1], C[:, :1, :1], D[:, :1, :1]
+        hi = jnp.zeros_like(lo_B)
+        elo = tq[:1]
+        ehi = jax.lax.dynamic_slice_in_dim(
+            tq, n_half.astype(jnp.int32), 1, axis=0)
+        Blo, Bhi, Clo, Chi, Dlo, Dhi = lo_B, hi, lo_C, hi, lo_D, hi
+        tx_c = tx[:1]
+    else:
+        axis = {MODE_X: 2, MODE_Q: 1}[mode]
+        Blo, Bhi = _lohi(B, axis, n_half)
+        Clo, Chi = _lohi(C, axis, n_half)
+        Dlo, Dhi = _lohi(D, axis, n_half)
+        if mode == MODE_Q:
+            elo, ehi = _lohi(tq_c, 0, n_half)
+            tx_c = tx[: B.shape[2]]
+        else:
+            elo, ehi = _lohi(tx[: B.shape[2]], 0, n_half)
+            tx_c = None  # the fold axis IS x; eq_x handled via elo/ehi
+
+    def contract(g, eq_fold_tab):
+        if mode == MODE_Q and not active:
+            s = fq.mul(g[:, 0, 0], jnp.broadcast_to(tx[0], g[:, 0, 0].shape))
+            s = fq.mul(s, jnp.broadcast_to(eq_fold_tab[0], s.shape))
+            return fq.dot(s, tp_c, axis=0)
+        if mode == MODE_Q:
+            s = fq.dot(g, tx_c[None, None], axis=2)     # (Pc, Qc', 16)
+            s = fq.dot(s, eq_fold_tab[None], axis=1)    # (Pc, 16)
+            return fq.dot(s, tp_c, axis=0)
+        # MODE_X: fold axis is x
+        s = fq.dot(g, eq_fold_tab[None, None], axis=2)  # (Pc, Qc, 16)
+        s = fq.dot(s, tq_c[None], axis=1)               # (Pc, 16)
+        return fq.dot(s, tp_c, axis=0)
+
+    def g_of(b, c, d):
+        return fq.sub(fq.mul(b, c), d)
+
+    e0 = contract(g_of(Blo, Clo, Dlo), elo)
+    B2, C2, D2 = _ext2(Blo, Bhi), _ext2(Clo, Chi), _ext2(Dlo, Dhi)
+    t2 = _ext2(elo, ehi)
+    e2 = contract(g_of(B2, C2, D2), t2)
+    B3, C3, D3 = (_ext3(B2, Blo, Bhi), _ext3(C2, Clo, Chi),
+                  _ext3(D2, Dlo, Dhi))
+    t3 = _ext3(t2, elo, ehi)
+    e3 = contract(g_of(B3, C3, D3), t3)
+    return jnp.stack([e0, e2, e3])
+
+
+def _pc_bind_impl(B, C, D, r, n_half, mode: int, active: bool):
+    """Class bind: fold (active) or (1-r)-scale each of B, C, D."""
+    if mode == MODE_Q and not active:
+        one_minus_r = fq.sub(jnp.broadcast_to(
+            jnp.asarray(fq.ONE_MONT, jnp.uint32), r.shape), r)
+        return tuple(
+            fq.mul(jnp.broadcast_to(one_minus_r, t.shape), t)
+            for t in (B, C, D))
+    axis = {MODE_X: 2, MODE_Q: 1}[mode]
+    return (_fold_live(B, axis, n_half, r), _fold_live(C, axis, n_half, r),
+            _fold_live(D, axis, n_half, r))
+
+
+def _pc_compact(B, C, D, mode: int, active: bool):
+    if mode != MODE_X and B.shape[2] > 1:
+        B, C, D = B[:, :, :1], C[:, :, :1], D[:, :, :1]
+    if mode == MODE_Q and not active and B.shape[1] > 1:
+        B, C, D = B[:, :1], C[:, :1], D[:, :1]
+    return B, C, D
+
+
+@cached_kernel(static_argnames=("mode", "p0", "S", "active"))
+def pc_evals(tp, tq, tx, B, C, D, n_half, mode: int, p0: int, S: int,
+             active: bool):
+    return _pc_evals_impl(tp, tq, tx, B, C, D, n_half, mode, p0, S, active)
+
+
+@cached_kernel(static_argnames=("mode_prev", "mode", "p0", "S",
+                                "active_prev", "active"))
+def pc_step(tp, tq, tx, B, C, D, r_prev, n_half_prev, n_half,
+            mode_prev: int, mode: int, p0: int, S: int,
+            active_prev: bool, active: bool):
+    """Fused previous-round bind + this-round evals for ONE class.
+
+    tp/tq/tx are the CURRENT global eq buffers (tq/tx already folded for
+    this round by `eq_fold`); the bind uses only B/C/D."""
+    B, C, D = _pc_bind_impl(B, C, D, r_prev, n_half_prev, mode_prev,
+                            active_prev)
+    B, C, D = _pc_compact(B, C, D, mode, active)
+    ev = _pc_evals_impl(tp, tq, tx, B, C, D, n_half, mode, p0, S, active)
+    return ev, (B, C, D)
+
+
+@cached_kernel(static_argnames=("mode", "active"))
+def pc_bind(B, C, D, r, n_half, mode: int, active: bool):
+    return _pc_bind_impl(B, C, D, r, n_half, mode, active)
+
+
 def _p2_compact(ep, ABC, Z, mode: int):
     if mode != MODE_X and Z.shape[2] > 1:
         Z, ABC = Z[:, :, :1], ABC[:, :, :1]

@@ -12,6 +12,10 @@ import time
 _ENABLED = bool(os.environ.get("SPARTAN_PROFILE"))
 _DEPTH = 0
 
+# last elapsed seconds per label, regardless of _ENABLED — lets bench.py
+# report per-stage metrics (roofline %) without parsing profiler output
+records: dict = {}
+
 
 def enable(on: bool = True) -> None:
     global _ENABLED
@@ -39,6 +43,7 @@ class Timer:
             except Exception:
                 pass
         dt = time.perf_counter() - self.t0
+        records[self.label] = dt
         if _ENABLED:
             _DEPTH -= 1
             print("  " * _DEPTH + f"* {self.label} {dt * 1e3:.3f}ms")

@@ -129,6 +129,39 @@ def test_r1csproof_data_parallel_roundtrip():
     assert r_out == r
 
 
+def test_r1csproof_qclass_bit_exact_vs_dense(monkeypatch):
+    """The q-size-classed prover (skewed num_proofs -> per-class tensors,
+    O(sum Q_i) storage) must produce BYTE-identical proofs to the dense
+    zero-padded layout under the same random tape."""
+    from spartan_parallel_tpu import serialization as ser
+
+    num_proofs = [8, 2, 1]
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        3, num_proofs, 16, 16, 4, seed=13)
+    nv = inst.get_num_vars() // 2
+    gens = R1CSGens(b"test_qclass", 16, 8 * nv)
+    vars_sec, io_sec = _vars_io_secs(inst, vars_mat, inputs_mat, num_proofs)
+
+    def run():
+        tape = RandomTape(b"proof", seed=b"\x0b" * 32)
+        tp = Transcript(b"qclass_test")
+        proof, r = R1CSProof.prove(
+            3, 8, num_proofs, nv, [nv] * 3, [vars_sec, io_sec], inst,
+            gens, tp, tape)
+        # fold in the post-prove transcript state: equal states mean the
+        # whole challenge schedule matched
+        return ser.serialize(proof, "R1CSProof"), r, \
+            tp.challenge_scalar(b"probe")
+
+    monkeypatch.delenv("SPARTAN_NO_QCLASS", raising=False)
+    classed = run()
+    monkeypatch.setenv("SPARTAN_NO_QCLASS", "1")
+    dense = run()
+    assert classed[1] == dense[1], "evaluation points differ"
+    assert classed[2] == dense[2], "transcript states differ"
+    assert classed[0] == dense[0], "proof bytes differ"
+
+
 def test_nizk_roundtrip():
     inst, vars_mat, inputs_mat = produce_synthetic_r1cs(1, [1], 16, 16, 4)
     gens = NIZKGens(16, 16)
