@@ -292,6 +292,16 @@ def bench_dp(log_sigma_q: int) -> None:
 
 
 def main() -> None:
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # debug/CI: virtual 8-device CPU mesh instead of the real chip
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     nizk_logn = os.environ.get("BENCH_NIZK_LOGN")
     snark_logn = os.environ.get("BENCH_SNARK_LOGN")
     dp_logn = os.environ.get("BENCH_DP_LOGN")

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
 from ..ops import sumcheck as sck
+from ..ops.fq import encode as fq_encode
 from ..ops.sumcheck import MODE_P, MODE_Q, MODE_W, MODE_X
 from ..utils.errors import ProofVerifyError
 from .commitments import MultiCommitGens, commit_scalar
@@ -186,7 +187,10 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            rm = scalars_to_mont([r_j])[0]
+            # numpy challenge rides the next dispatch's arg upload
+            # instead of paying a separate device_put round trip
+            # through the remote-TPU relay (~25 ms/transfer)
+            rm = fq_encode([r_j])[0]
             pending = (rm, n_half, mode)
             live[mode] //= 2
 
@@ -334,7 +338,10 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            rm = scalars_to_mont([r_j])[0]
+            # numpy challenge rides the next dispatch's arg upload
+            # instead of paying a separate device_put round trip
+            # through the remote-TPU relay (~25 ms/transfer)
+            rm = fq_encode([r_j])[0]
             if mode == MODE_P:
                 pending_p = (rm, _np.uint32(live_p // 2))
                 live_p //= 2
@@ -439,7 +446,10 @@ class ZKSumcheckInstanceProof:
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            rm = scalars_to_mont([r_j])[0]
+            # numpy challenge rides the next dispatch's arg upload
+            # instead of paying a separate device_put round trip
+            # through the remote-TPU relay (~25 ms/transfer)
+            rm = fq_encode([r_j])[0]
             pending = (rm, n_half, mode)
             live[mode] //= 2
 
