@@ -291,7 +291,30 @@ def bench_dp(log_sigma_q: int) -> None:
     }))
 
 
+def _tpu_relay_alive() -> bool:
+    """True if the remote-TPU relay accepts a TCP connection.
+
+    The axon PJRT plugin dials 127.0.0.1:8082; when the relay process is
+    dead, backend init blocks in a retry loop forever rather than
+    failing, which would hang the whole bench. A 2 s connect probe is
+    enough to tell the two states apart."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=2.0):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
+    if (not os.environ.get("BENCH_FORCE_CPU")
+            and os.environ.get("JAX_PLATFORMS", "").startswith("axon")
+            and not _tpu_relay_alive()):
+        print(json.dumps({"aux": "tpu_relay_unreachable",
+                          "note": "falling back to CPU backend"}),
+              file=sys.stderr)
+        os.environ["BENCH_FORCE_CPU"] = "1"
     if os.environ.get("BENCH_FORCE_CPU"):
         # debug/CI: virtual 8-device CPU mesh instead of the real chip
         flags = os.environ.get("XLA_FLAGS", "")
