@@ -42,22 +42,44 @@ _CACHE_DIR = os.environ.get(
 
 _LOCK = threading.Lock()
 _MEM: dict = {}
-_SRC_HASH: str | None = None
+_FILE_HASHES: dict = {}
+
+# Every device kernel bottoms out in these leaf modules; a kernel's disk
+# key hashes its OWN defining module plus this core set, so adding or
+# editing an unrelated module no longer invalidates every artifact on a
+# host where re-tracing costs minutes (1-core machine).
+_CORE_DEPS = ("limbs.py", "fq.py", "fp.py", "curve.py")
 
 
-def _src_hash() -> str:
-    """Hash of the ops package sources: edits invalidate the disk cache."""
-    global _SRC_HASH
-    if _SRC_HASH is None:
-        h = hashlib.sha256()
-        pkg = os.path.dirname(__file__)
-        for fn in sorted(os.listdir(pkg)):
-            if fn.endswith(".py"):
-                with open(os.path.join(pkg, fn), "rb") as f:
-                    h.update(f.read())
-        h.update(jax.__version__.encode())
-        _SRC_HASH = h.hexdigest()[:16]
-    return _SRC_HASH
+def _file_hash(path: str) -> str:
+    h = _FILE_HASHES.get(path)
+    if h is None:
+        hasher = hashlib.sha256()
+        try:
+            with open(path, "rb") as f:
+                hasher.update(f.read())
+        except OSError:
+            pass
+        h = _FILE_HASHES[path] = hasher.hexdigest()[:16]
+    return h
+
+
+def _src_hash(fn) -> str:
+    """Hash of the kernel's defining module + the core limb/field/curve
+    modules (+ jax version): edits to THOSE invalidate its disk cache."""
+    import sys
+
+    pkg = os.path.dirname(__file__)
+    paths = [os.path.join(pkg, dep) for dep in _CORE_DEPS]
+    mod = sys.modules.get(getattr(fn, "__module__", None))
+    mod_file = getattr(mod, "__file__", None)
+    if mod_file:
+        paths.append(mod_file)
+    h = hashlib.sha256()
+    for p in sorted(set(paths)):
+        h.update(_file_hash(p).encode())
+    h.update(jax.__version__.encode())
+    return h.hexdigest()[:16]
 
 
 def _abstractify(a):
@@ -72,6 +94,7 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
 
     def deco(fn):
         fn_name = name or fn.__name__
+        src_hash_cell: list = []
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
@@ -82,8 +105,10 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
                 return jitted(*args, **kwargs)
             assert not kwargs, f"non-static kwargs unsupported: {kwargs}"
             backend = jax.default_backend()
+            if not src_hash_cell:
+                src_hash_cell.append(_src_hash(fn))
             key_str = "|".join([
-                fn_name, backend, _src_hash(),
+                fn_name, backend, src_hash_cell[0],
                 ",".join(f"{k}={statics[k]}" for k in sorted(statics)),
                 ",".join(_abstractify(a) for a in args),
             ])
