@@ -335,7 +335,9 @@ def main() -> None:
     elif dp_logn:
         bench_dp(int(dp_logn))
     else:
-        bench_msm(int(os.environ.get("BENCH_MSM_LOGN", "16")))
+        # headline default: the 2^20-point Pedersen MSM (the prover's cost
+        # center; reference polycommit rate 385.8k pts/s, README.md:134)
+        bench_msm(int(os.environ.get("BENCH_MSM_LOGN", "20")))
 
 
 if __name__ == "__main__":

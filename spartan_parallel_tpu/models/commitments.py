@@ -30,7 +30,7 @@ _HOST_MSM_MAX = int(os.environ.get("SPARTAN_HOST_MSM_MAX", "8192"))
 
 
 class MultiCommitGens:
-    __slots__ = ("n", "G", "h", "_dev")
+    __slots__ = ("n", "G", "h", "_dev", "_comb")
 
     def __init__(self, n: int, label: bytes, _raw=None):
         if _raw is not None:
@@ -48,6 +48,7 @@ class MultiCommitGens:
             self.G = gens[:n]
             self.h = gens[n]
         self._dev = None
+        self._comb = None
 
     def split_at(self, mid: int):
         return (

@@ -246,7 +246,11 @@ class BulletReductionProof:
         b = np.array([int(x) for x in b_vec], dtype=object)
         # small reductions run fully on the host (native C curve ops) —
         # the device ladder costs a per-shape compile each round
-        host = n <= int(os.environ.get("SPARTAN_BULLET_HOST_MAX", "256"))
+        # Hyrax openings at 2^20 vars reduce n = 1024: the host C Straus
+        # path wins under the remote-TPU relay (each device round pays
+        # ~25 ms of dispatch latency for a <=512-point MSM) and avoids a
+        # per-shape ladder compile per halving round.
+        host = n <= int(os.environ.get("SPARTAN_BULLET_HOST_MAX", "1024"))
         G_host = list(G_list)
         G_dev = None
         if not host and n > 1:

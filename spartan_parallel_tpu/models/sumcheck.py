@@ -19,18 +19,113 @@ product layer; its provers live here too.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.edwards import RistrettoPoint, multiscalar_mul
 from ..core.field import Scalar
-from ..ops import sumcheck as sck
+from ..ops import fq, sumcheck as sck
 from ..ops.fq import encode as fq_encode
 from ..ops.sumcheck import MODE_P, MODE_Q, MODE_W, MODE_X
 from ..utils.errors import ProofVerifyError
-from .commitments import MultiCommitGens, commit_scalar
+from .commitments import MultiCommitGens, commit, commit_scalar
 from .dense_mlpoly import mont_to_scalar, mont_to_scalars, scalars_to_mont
 from .sigma import DotProductProof
 from .unipoly import CompressedUniPoly, UniPoly
+
+_MIN_SCAN_ROUNDS = 5
+
+
+def _device_rounds_on() -> bool:
+    """Device-resident sumcheck rounds (ops/zk_round.py): on by default
+    off-CPU (the host loop pays a device round trip per round through the
+    remote-TPU relay); force with SPARTAN_DEVICE_ROUNDS=1/0."""
+    flag = _os.environ.get("SPARTAN_DEVICE_ROUNDS")
+    if flag is not None:
+        return flag != "0"
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _comb_tables(gens: MultiCommitGens):
+    """Device comb tables for gens.G ++ [h], cached on the gens object."""
+    tabs = getattr(gens, "_comb", None)
+    if tabs is None:
+        from ..ops.ristretto_dev import make_comb_tables
+
+        tabs = jnp.asarray(make_comb_tables(list(gens.G) + [gens.h]))
+        try:
+            gens._comb = tabs
+        except AttributeError:
+            pass
+    return tabs
+
+
+def _scan_prep(num_scan: int, blinds_poly, blinds_evals, blind_claim,
+               gens_n, random_tape):
+    """Host-side inputs for a device round scan: per-round tape draws in
+    EXACTLY the order the host loop would make them (so proofs are
+    byte-identical under a fixed tape), plus precomputed deltas (they
+    depend only on tape randomness, nizk/mod.rs:318-321)."""
+    d_vecs, r_deltas, r_betas, deltas = [], [], [], []
+    for _ in range(num_scan):
+        dv = random_tape.random_vector(b"d_vec", 4)
+        rd = random_tape.random_scalar(b"r_delta")
+        rb = random_tape.random_scalar(b"r_beta")
+        d_vecs.append(dv)
+        r_deltas.append(rd)
+        r_betas.append(rb)
+        deltas.append(commit(dv, rd, gens_n).compress())
+    blind_sc = [blind_claim] + list(blinds_evals[:num_scan - 1])
+    xs = dict(
+        bp=fq_encode(blinds_poly[:num_scan]),
+        be=fq_encode(blinds_evals[:num_scan]),
+        bsc=fq_encode(blind_sc),
+        dv=fq_encode([x for v in d_vecs for x in v]).reshape(
+            num_scan, 4, 16),
+        rd=fq_encode(r_deltas),
+        rb=fq_encode(r_betas),
+        deltas=np.stack([np.frombuffer(d, np.uint8).astype(np.uint32)
+                         for d in deltas]),
+    )
+    return xs, d_vecs
+
+
+def _scan_finish(transcript, out_tail, deltas_bytes, num_scan):
+    """Decode the stacked scan outputs into per-round proof objects and
+    resync the host transcript to the device STROBE state."""
+    from ..ops import transcript_dev as tdev
+
+    (st, pos, pos_begin, claim_m, comm_claim_b,
+     comm_poly_b, comm_eval_b, beta_b, z_m, z_delta_m, z_beta_m, r_m) = \
+        out_tail
+    st_b, pos_i, pb_i = tdev.to_host_state((st, pos, pos_begin))
+    transcript.strobe.state = bytearray(st_b)
+    transcript.strobe.pos = pos_i
+    transcript.strobe.pos_begin = pb_i
+
+    def rows_to_bytes(arr):
+        return [bytes(np.asarray(arr[j], np.uint8).tobytes())
+                for j in range(num_scan)]
+
+    comm_polys = rows_to_bytes(np.asarray(comm_poly_b))
+    comm_evals = rows_to_bytes(np.asarray(comm_eval_b))
+    betas = rows_to_bytes(np.asarray(beta_b))
+    z_all = mont_to_scalars(np.asarray(z_m).reshape(-1, 16))
+    z_deltas = mont_to_scalars(np.asarray(z_delta_m))
+    z_betas = mont_to_scalars(np.asarray(z_beta_m))
+    rs = mont_to_scalars(np.asarray(r_m))
+    proofs = [
+        DotProductProof(deltas_bytes[j], betas[j],
+                        z_all[4 * j: 4 * j + 4], z_deltas[j], z_betas[j])
+        for j in range(num_scan)
+    ]
+    claim = mont_to_scalar(np.asarray(claim_m))
+    comm_claim = bytes(np.asarray(comm_claim_b, np.uint8).tobytes())
+    return comm_polys, comm_evals, proofs, rs, claim, comm_claim
 
 _ZERO = Scalar.zero()
 _ONE = Scalar.one()
@@ -158,13 +253,64 @@ class ZKSumcheckInstanceProof:
         live = {MODE_P: int(tp.shape[0]), MODE_Q: int(tq.shape[0]),
                 MODE_X: int(tx.shape[0])}
 
-        # Fused round pipeline: each device call binds the PREVIOUS
-        # round's challenge and evaluates THIS round's polys — one
-        # dispatch + one sync per round (the host<->device round trip
-        # dominates the sumcheck at small/medium sizes).
         r, comm_polys, comm_evals, proofs = [], [], [], []
+
+        # Device-resident round segments: each same-mode run of rounds
+        # (round polys, transcript, DotProductProofs) executes as ONE
+        # lax.scan on device (ops/zk_round.py) — no per-round host round
+        # trips. Stops at the first segment too short to be worth a
+        # compile; the host loop below picks up from there.
+        num_scan = 0
+        if _device_rounds_on():
+            from ..ops import transcript_dev as tdev
+            from ..ops import zk_round as zkr
+
+            segments = [(MODE_X, num_rounds_x_max),
+                        (MODE_Q, num_rounds_q_max), (MODE_P, num_rounds_p)]
+            for mode, cnt in segments:
+                if cnt == 0:
+                    continue
+                if cnt < _MIN_SCAN_ROUNDS:
+                    break
+                # static compaction of fully-bound axes (cf. _p1_compact)
+                if mode != MODE_X and tx.shape[0] > 1:
+                    tx, B, C, D = tx[:1], B[:, :, :1], C[:, :, :1], \
+                        D[:, :, :1]
+                if mode == MODE_P and tq.shape[0] > 1:
+                    tq, B, C, D = tq[:1], B[:, :1], C[:, :1], D[:, :1]
+                xs, _ = _scan_prep(
+                    cnt, blinds_poly[num_scan:], blinds_evals[num_scan:],
+                    blind_claim if num_scan == 0 else
+                    blinds_evals[num_scan - 1], gens_n, random_tape)
+                s0 = tdev.from_host(transcript)
+                out = zkr.p1_zk_scan(
+                    tp, tq, tx, B, C, D, _np.uint32(live[mode] // 2),
+                    s0[0], s0[1], s0[2],
+                    jnp.asarray(fq_encode([claim_per_round])[0]),
+                    _np.frombuffer(comm_claim_per_round, _np.uint8)
+                    .astype(_np.uint32),
+                    _comb_tables(gens_n), _comb_tables(gens_1),
+                    xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
+                    xs["rb"], xs["deltas"], mode=mode)
+                tp, tq, tx, B, C, D = out[3:9]
+                (cps, ces, prs, rss, claim_per_round,
+                 comm_claim_per_round) = _scan_finish(
+                    transcript, out[0:3] + out[9:11] + out[11:18],
+                    [bytes(_np.asarray(d, _np.uint8).tobytes())
+                     for d in xs["deltas"]], cnt)
+                comm_polys += cps
+                comm_evals += ces
+                proofs += prs
+                r += rss
+                live[mode] >>= cnt
+                num_scan += cnt
+
+        # Fused round pipeline for the remaining rounds: each device call
+        # binds the PREVIOUS round's challenge and evaluates THIS round's
+        # polys — one dispatch + one sync per round (the host<->device
+        # round trip dominates the sumcheck at small/medium sizes).
         pending = None  # (rm, n_half, mode) of the previous round
-        for j in range(num_rounds):
+        for j in range(num_scan, num_rounds):
             if j < num_rounds_x_max:
                 mode = MODE_X
             elif j < num_rounds_x_max + num_rounds_q_max:
@@ -258,7 +404,48 @@ class ZKSumcheckInstanceProof:
         pending_p = None
 
         r, comm_polys, comm_evals, proofs = [], [], [], []
-        for j in range(num_rounds):
+
+        # Device-resident x-segment over all classes (ops/zk_round.py).
+        # Gated off for CPU + scan-carries: XLA:CPU's compiler aborts on
+        # the multi-class scan body with nested lax.scan carry chains
+        # (same failure mode noted in ops/limbs.py); the Kogge-Stone
+        # carry form compiles fine (SPARTAN_CARRY_IMPL=ks).
+        from ..ops.limbs import _carry_impl
+
+        num_scan = 0
+        if (_device_rounds_on() and num_rounds_x_max >= _MIN_SCAN_ROUNDS
+                and _carry_impl() == "ks"):
+            from ..ops import transcript_dev as tdev
+            from ..ops import zk_round as zkr
+
+            num_scan = num_rounds_x_max
+            xs, _ = _scan_prep(num_scan, blinds_poly, blinds_evals,
+                               blind_claim, gens_n, random_tape)
+            s0 = tdev.from_host(transcript)
+            meta = tuple((st["p0"], st["S"]) for st in cstate)
+            flat = tuple(t for st in cstate for t in st["T"])
+            out = zkr.p1c_zk_scan(
+                tp, tq, tx, _np.uint32(live_x // 2),
+                s0[0], s0[1], s0[2],
+                jnp.asarray(fq_encode([claim_per_round])[0]),
+                _np.frombuffer(comm_claim_per_round, _np.uint8)
+                .astype(_np.uint32),
+                _comb_tables(gens_n), _comb_tables(gens_1),
+                xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
+                xs["rb"], xs["deltas"], *flat, classes_meta=meta)
+            tx = out[3]
+            nc = len(cstate)
+            for i, st in enumerate(cstate):
+                st["T"] = tuple(out[6 + 3 * i: 9 + 3 * i])
+                st["pending"] = None
+            (comm_polys, comm_evals, proofs, r, claim_per_round,
+             comm_claim_per_round) = _scan_finish(
+                transcript, out[0:3] + out[4:6] + out[6 + 3 * nc:],
+                [bytes(_np.asarray(d, _np.uint8).tobytes())
+                 for d in xs["deltas"]], num_scan)
+            live_x >>= num_scan
+
+        for j in range(num_scan, num_rounds):
             if j < num_rounds_x_max:
                 mode, qround = MODE_X, -1
             elif j < num_rounds_x_max + num_rounds_q_max:
@@ -421,8 +608,37 @@ class ZKSumcheckInstanceProof:
                 MODE_X: int(Z.shape[2])}
 
         r, comm_polys, comm_evals, proofs = [], [], [], []
+
+        # Device-resident y-segment (see phase-1 counterpart above).
+        num_scan = 0
+        if _device_rounds_on() and num_rounds_y_max >= _MIN_SCAN_ROUNDS:
+            from ..ops import transcript_dev as tdev
+            from ..ops import zk_round as zkr
+
+            num_scan = num_rounds_y_max
+            xs, _ = _scan_prep(num_scan, blinds_poly, blinds_evals,
+                               blind_claim, gens_n, random_tape)
+            s0 = tdev.from_host(transcript)
+            out = zkr.p2_zk_scan(
+                ep, ABC, Z, _np.uint32(live[MODE_X] // 2),
+                s0[0], s0[1], s0[2],
+                jnp.asarray(fq_encode([claim_per_round])[0]),
+                _np.frombuffer(comm_claim_per_round, _np.uint8)
+                .astype(_np.uint32),
+                _comb_tables(gens_n), _comb_tables(gens_1),
+                xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
+                xs["rb"], xs["deltas"], mode=MODE_X,
+                single_inst=single_inst)
+            ep, ABC, Z = out[3:6]
+            (comm_polys, comm_evals, proofs, r, claim_per_round,
+             comm_claim_per_round) = _scan_finish(
+                transcript, out[0:3] + out[6:8] + out[8:15],
+                [bytes(_np.asarray(d, _np.uint8).tobytes())
+                 for d in xs["deltas"]], num_scan)
+            live[MODE_X] >>= num_scan
+
         pending = None
-        for j in range(num_rounds):
+        for j in range(num_scan, num_rounds):
             if j < num_rounds_y_max:
                 mode = MODE_X
             elif j < num_rounds_y_max + num_rounds_w:

@@ -101,14 +101,24 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
             statics = {k: kwargs.pop(k) for k in list(kwargs)
                        if k in static_argnames}
             if _DISABLED:
-                jitted = jax.jit(functools.partial(fn, **statics))
+                jitted = jax.jit(functools.partial(fn, **statics),
+                                 keep_unused=True)
                 return jitted(*args, **kwargs)
             assert not kwargs, f"non-static kwargs unsupported: {kwargs}"
             backend = jax.default_backend()
             if not src_hash_cell:
                 src_hash_cell.append(_src_hash(fn))
-            key_str = "|".join([
-                fn_name, backend, src_hash_cell[0],
+            # The carry implementation is env-selectable codegen
+            # (SPARTAN_CARRY_IMPL) — key it when it differs from the
+            # backend default so a forced run can't poison the cache
+            # (tag omitted for the default to keep existing keys valid).
+            from .limbs import _carry_impl
+
+            carry = _carry_impl()
+            parts = [fn_name, backend, src_hash_cell[0]]
+            if carry != ("scan" if backend == "cpu" else "ks"):
+                parts.append(f"carry={carry}")
+            key_str = "|".join(parts + [
                 ",".join(f"{k}={statics[k]}" for k in sorted(statics)),
                 ",".join(_abstractify(a) for a in args),
             ])
@@ -121,7 +131,11 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
                     with open(path, "rb") as f:
                         exp = jax.export.deserialize(f.read())
                 else:
-                    jitted = jax.jit(functools.partial(fn, **statics))
+                    # keep_unused: argument DCE changes the exported
+                    # calling convention and exp.call then rejects the
+                    # full arg list ("Too many leaves for PyTreeDef")
+                    jitted = jax.jit(functools.partial(fn, **statics),
+                                     keep_unused=True)
                     exp = jax.export.export(jitted)(*args)
                     data = exp.serialize()
                     os.makedirs(_CACHE_DIR, exist_ok=True)

@@ -1,0 +1,258 @@
+"""Fully-on-device ZK sumcheck round loops.
+
+The reference prover's sumcheck (src/sumcheck.rs:788,1067) is a host loop:
+each round evaluates the round polynomial, commits it, squeezes a
+Fiat-Shamir challenge from the merlin transcript, runs a DotProductProof,
+and binds the tables. On a remote-attached TPU every host<->device
+round trip costs ~25 ms, so a 2^20-constraint prove pays seconds of pure
+latency across its ~40 rounds — dominating compute.
+
+This module runs a whole same-mode segment of rounds as ONE device
+program (`lax.scan`): the STROBE/merlin transcript state lives on device
+(ops/transcript_dev.py), round-poly commitments use fixed-base comb
+tables (ops/ristretto_dev.py), compression is the device ristretto
+ENCODE, and the DotProductProof sigma protocol (src/nizk/mod.rs:292-358)
+is replayed in-kernel. Challenges never leave the chip; the host uploads
+the per-round blinding randomness (drawn from the RandomTape in exactly
+the order the host loop would draw it) and downloads the stacked proof
+messages once per segment. Proof bytes are bit-identical to the host
+loop under a fixed tape (tests/test_zk_round.py).
+
+Per round the body:
+  1. evaluates the round poly at {0,2,3} over the live table region
+     (ops/sumcheck.py fixed-shape impls, dynamic n_half);
+  2. interpolates coefficients (unipoly.rs:23-55 hardcoded inverses);
+  3. commits coeffs+blind via a 5-generator comb MSM, ENCODEs, appends;
+  4. squeezes r, evaluates, commits the eval, squeezes the two
+     combine_two_claims_to_one weights;
+  5. replays DotProductProof::prove (nizk/mod.rs:305-358) with Cx reused
+     from step 3 and delta precomputed on host (it depends only on tape
+     randomness);
+  6. binds every table with r and halves the live marker.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import curve, fq
+from . import ristretto_dev as rdev
+from . import sumcheck as sck
+from . import transcript_dev as tdev
+from .kernel_cache import cached_kernel
+
+_CONSTS: dict = {}
+
+
+def _consts():
+    """Montgomery-limb constants. Kept as NUMPY arrays: a concrete
+    jax.Array closed over by a traced body is hoisted into a hidden
+    argument, which breaks jax.export's calling convention; numpy
+    constants inline into the StableHLO instead."""
+    if not _CONSTS:
+        from ..core.consts import L
+
+        _CONSTS["six_inv"] = fq.const(pow(6, -1, L))
+        _CONSTS["two_inv"] = fq.const(pow(2, -1, L))
+        _CONSTS["one"] = fq.const(1)
+        # a_sc = [2, 1, 1, 1]: <coeffs, a_sc> = p(0) + p(1)
+        _CONSTS["a_sc"] = np.stack(
+            [fq.const(2), fq.const(1), fq.const(1), fq.const(1)])
+    return _CONSTS
+
+
+def _coeffs_from_evals(e0, e1, e2, e3):
+    """Cubic UniPoly::from_evals (unipoly.rs:23-55): returns (4, 16)
+    Montgomery coefficients [d, c, b, a] (constant..cubic)."""
+    C = _consts()
+    d = e0
+    a = fq.mul(C["six_inv"], fq.sub(
+        fq.add(fq.sub(e3, fq.add(fq.add(e2, e2), e2)),
+               fq.add(fq.add(e1, e1), e1)), e0))
+    b = fq.mul(C["two_inv"], fq.sub(
+        fq.add(fq.add(e0, e0),
+               fq.add(fq.add(fq.add(e2, e2), e2), e2)),
+        fq.add(fq.add(fq.add(fq.add(fq.add(e1, e1), e1), e1), e1), e3)))
+    c = fq.sub(fq.sub(fq.sub(e1, d), a), b)
+    return jnp.stack([d, c, b, a])
+
+
+def _poly_eval(coeffs, r):
+    """Horner evaluation of (4, 16) coeffs at r."""
+    acc = coeffs[3]
+    acc = fq.add(fq.mul(acc, r), coeffs[2])
+    acc = fq.add(fq.mul(acc, r), coeffs[1])
+    return fq.add(fq.mul(acc, r), coeffs[0])
+
+
+def comb_commit(tables, scalars_mont):
+    """Batched fixed-base comb MSM.
+
+    tables: (n, 64, 16, 4, 16) from ristretto_dev.make_comb_tables;
+    scalars_mont: (..., n, 16) Montgomery -> (..., 4, 16) points."""
+    canon = fq.to_canonical(scalars_mont)  # (..., n, 16) 16-bit limbs
+    sh = jnp.asarray(np.array([0, 4, 8, 12], np.uint32))
+    digits = ((canon[..., None] >> sh) & jnp.uint32(0xF))
+    digits = digits.reshape(canon.shape[:-1] + (64,))  # (..., n, 64)
+    batch = canon.shape[:-2]
+    t = jnp.broadcast_to(tables, batch + tables.shape)
+    idx = digits[..., None, None, None].astype(jnp.int32)
+    picked = jnp.take_along_axis(t, idx, axis=-3)[..., 0, :, :]
+    flat = picked.reshape(batch + (-1, 4, 16))
+    return curve.tree_reduce(flat, axis=len(batch))
+
+
+def _zk_round_tail(s, claim, comm_claim, e0, e2, e3, x, tab_n, tab_1):
+    """Device replay of models/sumcheck.ZKSumcheckInstanceProof's per-round
+    tail (sumcheck.rs:973-1048): commit round poly, squeeze r, combine the
+    two claims, DotProductProof. Returns the new transcript/claim state and
+    the round's proof messages."""
+    C = _consts()
+    bp, be, bsc, dv, rd, rb, delta_bytes = x
+    e1 = fq.sub(claim, e0)
+    coeffs = _coeffs_from_evals(e0, e1, e2, e3)
+
+    comm_poly = rdev.compress(
+        comb_commit(tab_n, jnp.concatenate([coeffs, bp[None]], axis=0)))
+    s = tdev.append_point(s, b"comm_poly", comm_poly)
+    s, r = tdev.challenge_scalar(s, b"challenge_nextround")
+
+    eval_ = _poly_eval(coeffs, r)
+    comm_eval = rdev.compress(
+        comb_commit(tab_1, jnp.stack([eval_, be])))
+    s = tdev.append_point(s, b"comm_claim_per_round", comm_claim)
+    s = tdev.append_point(s, b"comm_eval", comm_eval)
+    s, w0 = tdev.challenge_scalar(s, b"combine_two_claims_to_one")
+    s, w1 = tdev.challenge_scalar(s, b"combine_two_claims_to_one")
+
+    target = fq.add(fq.mul(w0, claim), fq.mul(w1, eval_))
+    blind = fq.add(fq.mul(w0, bsc), fq.mul(w1, be))
+    r2 = fq.mul(r, r)
+    a_eval = jnp.stack([C["one"], r, r2, fq.mul(r2, r)])
+    w0b = jnp.broadcast_to(w0, (4, 16))
+    w1b = jnp.broadcast_to(w1, (4, 16))
+    a = fq.add(fq.mul(w0b, C["a_sc"]), fq.mul(w1b, a_eval))
+
+    # DotProductProof::prove (nizk/mod.rs:305-358); Cx == comm_poly.
+    s = tdev.append_message_const(s, b"protocol-name", b"dot product proof")
+    s = tdev.append_point(s, b"Cx", comm_poly)
+    m = fq.mul(a, dv)
+    dp_ad = fq.add(fq.add(m[0], m[1]), fq.add(m[2], m[3]))
+    cy_beta = rdev.compress(comb_commit(tab_1, jnp.stack([
+        jnp.stack([target, blind]), jnp.stack([dp_ad, rb])])))
+    s = tdev.append_point(s, b"Cy", cy_beta[0])
+    s = tdev.append_scalar_vector(s, b"a", a)
+    s = tdev.append_point(s, b"delta", delta_bytes)
+    s = tdev.append_point(s, b"beta", cy_beta[1])
+    s, c = tdev.challenge_scalar(s, b"c")
+
+    cb = jnp.broadcast_to(c, (4, 16))
+    z = fq.add(fq.mul(cb, coeffs), dv)
+    z_delta = fq.add(fq.mul(c, bp), rd)
+    z_beta = fq.add(fq.mul(c, blind), rb)
+
+    ys = (comm_poly, comm_eval, cy_beta[1], z, z_delta, z_beta, r)
+    return s, r, eval_, comm_eval, ys
+
+
+def _p1_scan_impl(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
+                  claim0, comm_claim0, tab_n, tab_1,
+                  bp, be, bsc, dv, rd, rb, deltas, mode: int):
+    def body(carry, x):
+        s, tp, tq, tx, B, C, D, n_half, claim, comm_claim = carry
+        evd = sck._p1_evals_impl(tp, tq, tx, B, C, D, n_half, mode)
+        s, r, eval_, comm_eval, ys = _zk_round_tail(
+            s, claim, comm_claim, evd[0], evd[1], evd[2], x, tab_n, tab_1)
+        tp, tq, tx, B, C, D = sck._p1_bind_impl(
+            tp, tq, tx, B, C, D, r, n_half, mode)
+        return (s, tp, tq, tx, B, C, D,
+                (n_half >> jnp.uint32(1)).astype(jnp.uint32),
+                eval_, comm_eval), ys
+
+    carry0 = ((st, pos, pos_begin), tp, tq, tx, B, C, D,
+              n_half0, claim0, comm_claim0)
+    carry, ys = jax.lax.scan(body, carry0, (bp, be, bsc, dv, rd, rb, deltas))
+    s, tp, tq, tx, B, C, D, _nh, claim, comm_claim = carry
+    return (s[0], s[1], s[2], tp, tq, tx, B, C, D, claim, comm_claim) + ys
+
+
+def _p2_scan_impl(ep, ABC, Z, n_half0, st, pos, pos_begin,
+                  claim0, comm_claim0, tab_n, tab_1,
+                  bp, be, bsc, dv, rd, rb, deltas,
+                  mode: int, single_inst: bool):
+    def body(carry, x):
+        s, ep, ABC, Z, n_half, claim, comm_claim = carry
+        evd = sck._p2_evals_impl(ep, ABC, Z, n_half, mode, single_inst)
+        s, r, eval_, comm_eval, ys = _zk_round_tail(
+            s, claim, comm_claim, evd[0], evd[1], evd[2], x, tab_n, tab_1)
+        ep, ABC, Z = sck._p2_bind_impl(ep, ABC, Z, r, n_half, mode,
+                                       single_inst)
+        return (s, ep, ABC, Z,
+                (n_half >> jnp.uint32(1)).astype(jnp.uint32),
+                eval_, comm_eval), ys
+
+    carry0 = ((st, pos, pos_begin), ep, ABC, Z, n_half0, claim0, comm_claim0)
+    carry, ys = jax.lax.scan(body, carry0, (bp, be, bsc, dv, rd, rb, deltas))
+    s, ep, ABC, Z, _nh, claim, comm_claim = carry
+    return (s[0], s[1], s[2], ep, ABC, Z, claim, comm_claim) + ys
+
+
+@cached_kernel(static_argnames=("mode",))
+def p1_zk_scan(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
+               claim0, comm_claim0, tab_n, tab_1,
+               bp, be, bsc, dv, rd, rb, deltas, mode: int):
+    return _p1_scan_impl(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
+                         claim0, comm_claim0, tab_n, tab_1,
+                         bp, be, bsc, dv, rd, rb, deltas, mode)
+
+
+@cached_kernel(static_argnames=("mode", "single_inst"))
+def p2_zk_scan(ep, ABC, Z, n_half0, st, pos, pos_begin,
+               claim0, comm_claim0, tab_n, tab_1,
+               bp, be, bsc, dv, rd, rb, deltas,
+               mode: int, single_inst: bool):
+    return _p2_scan_impl(ep, ABC, Z, n_half0, st, pos, pos_begin,
+                         claim0, comm_claim0, tab_n, tab_1,
+                         bp, be, bsc, dv, rd, rb, deltas, mode, single_inst)
+
+
+# --------------------------------------------------------------------------
+# q-size-classed phase-1 x-segment (models/sumcheck.prove_phase1_classed):
+# every class is ACTIVE during x rounds, so the per-round evals are the sum
+# of the per-class contributions and each class binds its own x axis.
+# --------------------------------------------------------------------------
+@cached_kernel(static_argnames=("classes_meta",))
+def p1c_zk_scan(tp, tq, tx, n_half0, st, pos, pos_begin,
+                claim0, comm_claim0, tab_n, tab_1,
+                bp, be, bsc, dv, rd, rb, deltas, *class_tensors,
+                classes_meta: tuple):
+    """classes_meta: tuple of (p0, S) per class; class_tensors: the
+    flattened per-class (B, C, D) triples."""
+    classes = [class_tensors[3 * i: 3 * i + 3]
+               for i in range(len(classes_meta))]
+
+    def body(carry, x):
+        s, tx_c, tabs, n_half, claim, comm_claim = carry
+        evd = None
+        for (p0, S), (B, C, D) in zip(classes_meta, tabs):
+            e = sck._pc_evals_impl(tp, tq, tx_c, B, C, D, n_half,
+                                   sck.MODE_X, p0, S, True)
+            evd = e if evd is None else fq.add(evd, e)
+        s, r, eval_, comm_eval, ys = _zk_round_tail(
+            s, claim, comm_claim, evd[0], evd[1], evd[2], x, tab_n, tab_1)
+        tabs = tuple(
+            sck._pc_bind_impl(B, C, D, r, n_half, sck.MODE_X, True)
+            for (B, C, D) in tabs)
+        tx_c = sck._fold_live(tx_c, 0, n_half, r)
+        return (s, tx_c, tabs,
+                (n_half >> jnp.uint32(1)).astype(jnp.uint32),
+                eval_, comm_eval), ys
+
+    carry0 = ((st, pos, pos_begin), tx, tuple(classes), n_half0,
+              claim0, comm_claim0)
+    carry, ys = jax.lax.scan(body, carry0, (bp, be, bsc, dv, rd, rb, deltas))
+    s, tx, tabs, _nh, claim, comm_claim = carry
+    flat = tuple(t for tri in tabs for t in tri)
+    return (s[0], s[1], s[2], tx, claim, comm_claim) + flat + ys

@@ -1,0 +1,136 @@
+"""Device-resident ZK sumcheck rounds (ops/zk_round.py).
+
+The scan path must be BYTE-identical to the host round loop: same
+transcript schedule (sumcheck.rs:973-1048), same DotProductProof messages
+(nizk/mod.rs:305-358), under the same random tape.
+"""
+
+import numpy as np
+import pytest
+
+from spartan_parallel_tpu.core.field import Scalar
+from spartan_parallel_tpu.models.commitments import MultiCommitGens, commit
+from spartan_parallel_tpu.models.r1csinstance import produce_synthetic_r1cs
+from spartan_parallel_tpu.models.r1csproof import (
+    ProverWitnessSecInfo,
+    R1CSGens,
+    R1CSProof,
+)
+from spartan_parallel_tpu.models.unipoly import UniPoly
+from spartan_parallel_tpu.ops import fq
+from spartan_parallel_tpu.ops import zk_round as zkr
+from spartan_parallel_tpu.utils.random_tape import RandomTape
+from spartan_parallel_tpu.utils.transcript import Transcript
+
+from .test_r1cs import _vars_io_secs
+
+
+def _rand_scalars(n, seed):
+    rng = np.random.default_rng(seed)
+    from spartan_parallel_tpu.core.consts import L
+
+    return [Scalar(int.from_bytes(rng.bytes(40), "little") % L)
+            for _ in range(n)]
+
+
+def test_comb_commit_matches_host():
+    gens = MultiCommitGens(4, b"zkr_test")
+    from spartan_parallel_tpu.ops.ristretto_dev import make_comb_tables
+
+    import jax.numpy as jnp
+
+    tabs = jnp.asarray(make_comb_tables(list(gens.G) + [gens.h]))
+    vals = _rand_scalars(4, 3)
+    blind = _rand_scalars(1, 4)[0]
+    expect = commit(vals, blind, gens).compress()
+    from spartan_parallel_tpu.ops.ristretto_dev import compress
+
+    got_pt = zkr.comb_commit(tabs, jnp.asarray(fq.encode(vals + [blind])))
+    got = bytes(np.asarray(compress(got_pt), np.uint8).tobytes())
+    assert got == expect
+
+    # batched
+    vals2 = _rand_scalars(4, 5)
+    blind2 = _rand_scalars(1, 6)[0]
+    both = zkr.comb_commit(tabs, jnp.asarray(
+        np.stack([fq.encode(vals + [blind]), fq.encode(vals2 + [blind2])])))
+    got2 = bytes(np.asarray(compress(both[1]), np.uint8).tobytes())
+    assert got2 == commit(vals2, blind2, gens).compress()
+
+
+def test_coeffs_and_eval_match_unipoly():
+    evals = _rand_scalars(4, 11)
+    r = _rand_scalars(1, 12)[0]
+    poly = UniPoly.from_evals(evals)
+    import jax.numpy as jnp
+
+    e = [jnp.asarray(fq.encode([x])[0]) for x in evals]
+    coeffs = zkr._coeffs_from_evals(e[0], e[1], e[2], e[3])
+    got_coeffs = fq.decode(np.asarray(coeffs))
+    assert got_coeffs == [int(c) for c in poly.as_vec()]
+    got_eval = fq.decode(np.asarray(
+        zkr._poly_eval(coeffs, jnp.asarray(fq.encode([r])[0]))[None]))[0]
+    assert got_eval == int(poly.evaluate(r))
+
+
+def test_r1csproof_device_rounds_bit_exact(monkeypatch):
+    """Proof bytes + post-prove transcript state must match the host round
+    loop exactly (P=Q=1 exercises the phase-1 x-scan and phase-2 y-scan)."""
+    from spartan_parallel_tpu import serialization as ser
+
+    n = 64  # nrx = nry = 6 >= _MIN_SCAN_ROUNDS: both scans engage
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        1, [1], n, n, 4, seed=21)
+    nv = inst.get_num_vars() // 2
+    gens = R1CSGens(b"test_zkr", n, nv)
+    vars_sec, io_sec = _vars_io_secs(inst, vars_mat, inputs_mat, [1])
+
+    def run():
+        tape = RandomTape(b"proof", seed=b"\x0c" * 32)
+        tp = Transcript(b"zkr_test")
+        proof, r = R1CSProof.prove(
+            1, 1, [1], nv, [nv], [vars_sec, io_sec], inst, gens, tp, tape)
+        return ser.serialize(proof, "R1CSProof"), r, \
+            tp.challenge_scalar(b"probe")
+
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "1")
+    dev = run()
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "0")
+    host = run()
+    assert dev[1] == host[1], "evaluation points differ"
+    assert dev[2] == host[2], "transcript states differ"
+    assert dev[0] == host[0], "proof bytes differ"
+
+
+def test_r1csproof_classed_device_rounds_bit_exact(monkeypatch):
+    """Skewed num_proofs routes through the q-size-classed prover; its
+    device x-segment scan (p1c_zk_scan) must also be byte-identical."""
+    from spartan_parallel_tpu import serialization as ser
+
+    num_proofs = [8, 2, 1]
+    n = 32  # nrx = 5 = _MIN_SCAN_ROUNDS
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        3, num_proofs, n, n, 4, seed=23)
+    nv = inst.get_num_vars() // 2
+    gens = R1CSGens(b"test_zkr_c", n, 8 * nv)
+    vars_sec, io_sec = _vars_io_secs(inst, vars_mat, inputs_mat, num_proofs)
+
+    def run():
+        tape = RandomTape(b"proof", seed=b"\x0d" * 32)
+        tp = Transcript(b"zkr_c_test")
+        proof, r = R1CSProof.prove(
+            3, 8, num_proofs, nv, [nv] * 3, [vars_sec, io_sec], inst,
+            gens, tp, tape)
+        return ser.serialize(proof, "R1CSProof"), r, \
+            tp.challenge_scalar(b"probe")
+
+    # KS carries: the classed scan is gated off under XLA:CPU + scan
+    # carries (compiler abort — see models/sumcheck.py)
+    monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "1")
+    dev = run()
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "0")
+    host = run()
+    assert dev[1] == host[1], "evaluation points differ"
+    assert dev[2] == host[2], "transcript states differ"
+    assert dev[0] == host[0], "proof bytes differ"
