@@ -75,20 +75,40 @@ def mont_to_scalar(a) -> Scalar:
 # --------------------------------------------------------------------------
 # Eq / identity polynomials
 # --------------------------------------------------------------------------
-@cached_kernel(static_argnames=("ell",))
-def _eq_evals_dev(r_mont, ell: int):
-    """(ell, 16) Montgomery challenges -> (2^ell, 16) eq table.
-
-    Index bit ordering matches the reference (dense_mlpoly.rs:76-91):
-    the table index's MSB corresponds to r[0]. Each step multiplies the
-    whole current table once — 2^ell muls total.
-    """
+def _eq_doubling(r_mont, ell: int):
+    """(2^ell, 16) eq table by doubling: 2^ell muls, ~2^ell live temps."""
     tab = jnp.asarray(fq.ONE_MONT, jnp.uint32)[None]
     for j in range(ell):
         hi = fq.mul(tab, jnp.broadcast_to(r_mont[j], tab.shape))
         lo = fq.sub(tab, hi)
         tab = jnp.stack([lo, hi], axis=1).reshape(-1, 16)
     return tab
+
+
+@cached_kernel(static_argnames=("ell",))
+def _eq_evals_dev(r_mont, ell: int):
+    """(ell, 16) Montgomery challenges -> (2^ell, 16) eq table.
+
+    Index bit ordering matches the reference (dense_mlpoly.rs:76-91):
+    the table index's MSB corresponds to r[0].
+
+    Built as a Kronecker product of half tables: eq factors over any bit
+    split (eq_hi(x_hi) * eq_lo(x_lo), hi-major), so one broadcast mul of
+    two 2^(ell/2) tables replaces the last ell/2 doubling levels. The
+    straight doubling build holds O(ell) near-full-size live temps, each
+    8x-padded by the TPU's (8,128) tile on a (N, 16) layout — at 2^20 it
+    ran the chip out of HBM (17.5 GB of HLO temps) before this split."""
+    if ell <= 13:
+        return _eq_doubling(r_mont, ell)
+    half = ell // 2
+    hi_tab = _eq_doubling(r_mont[:half], half)          # MSBs: hi-major
+    lo_tab = _eq_doubling(r_mont[half:], ell - half)
+    out = fq.mul(
+        jnp.broadcast_to(hi_tab[:, None], (hi_tab.shape[0],
+                                           lo_tab.shape[0], 16)),
+        jnp.broadcast_to(lo_tab[None], (hi_tab.shape[0],
+                                        lo_tab.shape[0], 16)))
+    return out.reshape(-1, 16)
 
 
 class EqPolynomial:
