@@ -80,7 +80,9 @@ class NIZK:
         assert len(inputs) < num_vars
 
         transcript.append_protocol_name(NIZK.protocol_name())
+        t_dig = Timer("instance_digest")
         transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
+        t_dig.stop()
 
         if random_tape is None:
             random_tape = RandomTape(b"proof")
@@ -88,6 +90,7 @@ class NIZK:
         # witness sec 0: private vars. Committed with zero row blinds, as
         # the fork does for every witness poly (lib.rs:1973 etc. pass None);
         # hiding comes from the blinded sumcheck/sigma layers.
+        t_wit = Timer("witness_commit")
         vars_sec = ProverWitnessSecInfo.from_scalars(
             [num_vars], [[list(map(int, vars_))]])
         comm_vars, _blinds = vars_sec.poly_w[0].commit(
@@ -100,6 +103,7 @@ class NIZK:
             [num_vars], [[[int(v) for v in io]]])
         comm_io, _ = io_sec.poly_w[0].commit(gens.gens_r1cs_sat.gens_pc, None)
         comm_io.append_to_transcript(b"poly_commitment", transcript)
+        t_wit.stop()
 
         proof, r = R1CSProof.prove(
             1, 1, [1], num_vars, [num_vars], [vars_sec, io_sec], inst,
@@ -114,10 +118,12 @@ class NIZK:
         transcript.append_message(b"R1CSInstanceDigest", instance_digest(inst))
 
         self.comm_vars.append_to_transcript(b"poly_commitment", transcript)
+        t_io = Timer("verify_comm_io")
         io = _io_sec(num_vars, inputs)
         io_poly = DensePolynomial.from_scalars(io)
         comm_io, _ = io_poly.commit(gens.gens_r1cs_sat.gens_pc, None)
         comm_io.append_to_transcript(b"poly_commitment", transcript)
+        t_io.stop()
 
         # evaluate A/B/C at the claimed point (upstream lib.rs:3981-3984)
         timer_eval = Timer("eval_sparse_polys")

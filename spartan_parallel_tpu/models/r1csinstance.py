@@ -135,6 +135,11 @@ class R1CSInstance:
         import struct
         import zlib
 
+        if getattr(self, "_digest", None) is not None:
+            return self._digest
+
+        from ..ops import limbs as lb
+
         parts = []
 
         def u64(v):
@@ -146,18 +151,28 @@ class R1CSInstance:
         for c in self.num_cons:
             u64(c)
         u64(self.num_vars)
+        R256 = 1 << 256
         for mats in (self.A_list, self.B_list, self.C_list):
             u64(len(mats))
             for m in mats:
                 u64(m.num_vars_x)
                 u64(m.num_vars_y)
                 u64(len(m.vals))
-                for r, c, v in zip(m.rows, m.cols, m.vals):
-                    u64(int(r))
-                    u64(int(c))
-                    parts.append(
-                        (int(v) * (1 << 256) % L).to_bytes(32, "little"))
-        return zlib.compress(b"".join(parts), 6)
+                # Vectorized entry serialization: the per-entry Python
+                # loop cost ~10 s at 3*2^20 nnz. Each entry is
+                # (u64 row, u64 col, 32B Montgomery-limb scalar LE).
+                n = len(m.vals)
+                ent = np.zeros((n, 48), dtype=np.uint8)
+                ent[:, 0:8] = m.rows.astype("<u8").view(np.uint8) \
+                    .reshape(n, 8)
+                ent[:, 8:16] = m.cols.astype("<u8").view(np.uint8) \
+                    .reshape(n, 8)
+                mont = (np.array(m.vals, dtype=object) * R256) % L
+                ent[:, 16:48] = lb.ints_to_limbs(list(mont)) \
+                    .astype("<u2").view(np.uint8).reshape(n, 32)
+                parts.append(ent.tobytes())
+        self._digest = zlib.compress(b"".join(parts), 6)
+        return self._digest
 
     # --- Az/Bz/Cz (r1csinstance.rs:363-438) -------------------------------
     def multiply_vec_block(self, num_instances, num_proofs, max_num_proofs,

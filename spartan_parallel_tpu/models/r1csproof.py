@@ -638,9 +638,11 @@ class R1CSProof:
 
         claim_phase1 = commit_scalar(
             _ZERO, _ZERO, gens.gens_sc.gens_1).compress()
+        t_sc1 = Timer("verify_sc1")
         comm_claim_post_phase1, rx_all = self.sc_proof_phase1.verify(
             claim_phase1, nrx + nrq + nrp, 3, gens.gens_sc.gens_1,
             gens.gens_sc.gens_4, transcript)
+        t_sc1.stop()
 
         (comm_Az_claim, comm_Bz_claim, comm_Cz_claim,
          comm_prod_Az_Bz_claims) = self.claims_phase2
@@ -686,9 +688,11 @@ class R1CSProof:
             [RistrettoPoint.decompress(c) for c in
              (comm_Az_claim, comm_Bz_claim, comm_Cz_claim)]).compress()
 
+        t_sc2 = Timer("verify_sc2")
         comm_claim_post_phase2, ry_all = self.sc_proof_phase2.verify(
             comm_claim_phase2, nry + nrw + nrp, 3, gens.gens_sc.gens_1,
             gens.gens_sc.gens_4, transcript)
+        t_sc2.stop()
 
         ry_rev = ry_all[:nry]
         rw = ry_all[nry:nry + nrw]
