@@ -54,6 +54,42 @@ def _io_sec(num_vars: int, inputs) -> list:
     return io
 
 
+def _io_poly_and_comm(num_vars: int, inputs, gens_pc):
+    """Sparse fast path for the public-io witness section.
+
+    The io poly is [1, inputs..., 0...] — len(inputs)+1 live entries out
+    of 2^20. Building/committing it densely cost ~22 s per prove AND per
+    verify (full upload + a sqrt(N)-row Hyrax MSM whose rows are almost
+    all zero). Instead: device zeros + a tiny prefix upload, and the
+    structured commitment — row 0 is a small host MSM, every other row
+    commits to the zero vector with a zero blind, i.e. the identity
+    point. Byte-identical to the dense path."""
+    from ..core.edwards import RistrettoPoint, multiscalar_mul
+    from ..models.dense_mlpoly import (
+        EqPolynomial,
+        PolyCommitment,
+        log2 as _log2,
+    )
+    from ..ops import fq as _fq
+
+    prefix = [_ONE] + [Scalar(int(v)) for v in inputs]
+    k = len(prefix)
+    ell = _log2(num_vars)
+    left, right = EqPolynomial.compute_factored_lens(ell)
+    L_size, R_size = 1 << left, 1 << right
+    if k > R_size:  # prefix spills past row 0: use the dense path
+        return None
+
+    pref_mont = jnp.asarray(_fq.encode(prefix))
+    Zm = jnp.zeros((num_vars, 16), jnp.uint32).at[:k].set(pref_mont)
+
+    gens_n = gens_pc.gens.gens_n
+    row0 = multiscalar_mul([int(v) for v in prefix], gens_n.G[:k])
+    ident = RistrettoPoint.identity().compress()
+    comm = PolyCommitment([row0.compress()] + [ident] * (L_size - 1))
+    return Zm, comm
+
+
 class NIZK:
     __slots__ = ("r1cs_sat_proof", "comm_vars", "r")
 
@@ -98,10 +134,18 @@ class NIZK:
         comm_vars.append_to_transcript(b"poly_commitment", transcript)
 
         # witness sec 1: public io (deterministic zero-blind commitment)
-        io = _io_sec(num_vars, inputs)
-        io_sec = ProverWitnessSecInfo.from_scalars(
-            [num_vars], [[[int(v) for v in io]]])
-        comm_io, _ = io_sec.poly_w[0].commit(gens.gens_r1cs_sat.gens_pc, None)
+        fast = _io_poly_and_comm(num_vars, inputs, gens.gens_r1cs_sat.gens_pc)
+        if fast is not None:
+            Zm_io, comm_io = fast
+            io_sec = ProverWitnessSecInfo(
+                [num_vars], [Zm_io.reshape(1, num_vars, 16)],
+                [DensePolynomial(Zm_io)])
+        else:
+            io = _io_sec(num_vars, inputs)
+            io_sec = ProverWitnessSecInfo.from_scalars(
+                [num_vars], [[[int(v) for v in io]]])
+            comm_io, _ = io_sec.poly_w[0].commit(
+                gens.gens_r1cs_sat.gens_pc, None)
         comm_io.append_to_transcript(b"poly_commitment", transcript)
         t_wit.stop()
 
@@ -119,9 +163,13 @@ class NIZK:
 
         self.comm_vars.append_to_transcript(b"poly_commitment", transcript)
         t_io = Timer("verify_comm_io")
-        io = _io_sec(num_vars, inputs)
-        io_poly = DensePolynomial.from_scalars(io)
-        comm_io, _ = io_poly.commit(gens.gens_r1cs_sat.gens_pc, None)
+        fast = _io_poly_and_comm(num_vars, inputs, gens.gens_r1cs_sat.gens_pc)
+        if fast is not None:
+            comm_io = fast[1]
+        else:
+            io = _io_sec(num_vars, inputs)
+            io_poly = DensePolynomial.from_scalars(io)
+            comm_io, _ = io_poly.commit(gens.gens_r1cs_sat.gens_pc, None)
         comm_io.append_to_transcript(b"poly_commitment", transcript)
         t_io.stop()
 

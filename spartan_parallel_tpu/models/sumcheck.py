@@ -283,16 +283,25 @@ class ZKSumcheckInstanceProof:
                     blind_claim if num_scan == 0 else
                     blinds_evals[num_scan - 1], gens_n, random_tape)
                 s0 = tdev.from_host(transcript)
+                # sublane layout (limbs on axis -2): one cheap transpose
+                # per segment boundary; the 21x-repeated round sweeps run
+                # on unpadded (P, Q, 16, X) tiles (ops/sumcheck_sl.py)
+                from ..ops import fqf
+
                 out = zkr.p1_zk_scan(
-                    tp, tq, tx, B, C, D, _np.uint32(live[mode] // 2),
+                    fqf.to_sublane(tp), fqf.to_sublane(tq),
+                    fqf.to_sublane(tx), fqf.to_sublane(B),
+                    fqf.to_sublane(C), fqf.to_sublane(D),
+                    _np.uint32(live[mode] // 2),
                     s0[0], s0[1], s0[2],
                     jnp.asarray(fq_encode([claim_per_round])[0]),
                     _np.frombuffer(comm_claim_per_round, _np.uint8)
                     .astype(_np.uint32),
                     _comb_tables(gens_n), _comb_tables(gens_1),
                     xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
-                    xs["rb"], xs["deltas"], mode=mode)
-                tp, tq, tx, B, C, D = out[3:9]
+                    xs["rb"], xs["deltas"], mode=mode, sublane=True)
+                tp, tq, tx, B, C, D = (fqf.from_sublane(t)
+                                       for t in out[3:9])
                 (cps, ces, prs, rss, claim_per_round,
                  comm_claim_per_round) = _scan_finish(
                     transcript, out[0:3] + out[9:11] + out[11:18],
@@ -619,8 +628,11 @@ class ZKSumcheckInstanceProof:
             xs, _ = _scan_prep(num_scan, blinds_poly, blinds_evals,
                                blind_claim, gens_n, random_tape)
             s0 = tdev.from_host(transcript)
+            from ..ops import fqf
+
             out = zkr.p2_zk_scan(
-                ep, ABC, Z, _np.uint32(live[MODE_X] // 2),
+                fqf.to_sublane(ep), fqf.to_sublane(ABC), fqf.to_sublane(Z),
+                _np.uint32(live[MODE_X] // 2),
                 s0[0], s0[1], s0[2],
                 jnp.asarray(fq_encode([claim_per_round])[0]),
                 _np.frombuffer(comm_claim_per_round, _np.uint8)
@@ -628,8 +640,8 @@ class ZKSumcheckInstanceProof:
                 _comb_tables(gens_n), _comb_tables(gens_1),
                 xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
                 xs["rb"], xs["deltas"], mode=MODE_X,
-                single_inst=single_inst)
-            ep, ABC, Z = out[3:6]
+                single_inst=single_inst, sublane=True)
+            ep, ABC, Z = (fqf.from_sublane(t) for t in out[3:6])
             (comm_polys, comm_evals, proofs, r, claim_per_round,
              comm_claim_per_round) = _scan_finish(
                 transcript, out[0:3] + out[6:8] + out[8:15],

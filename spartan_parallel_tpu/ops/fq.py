@@ -55,11 +55,12 @@ def encode_to_device(xs):
     Uploads raw canonical limbs and performs the R-scaling on device
     (from_canonical = one REDC-mul by R^2, valid for any input < 2^256),
     replacing the O(n) host bigint multiply of encode() — the witness
-    upload path at 2^20 variables."""
+    upload path at 2^20 variables. Limbs ship as uint16 (half the bytes
+    through the remote-TPU relay) and widen on device."""
     import jax.numpy as jnp
 
-    return from_canonical(jnp.asarray(lb.ints_to_limbs(
-        [int(x) for x in xs])))
+    limbs16 = lb.ints_to_limbs([int(x) for x in xs]).astype(np.uint16)
+    return from_canonical(jnp.asarray(limbs16).astype(jnp.uint32))
 
 
 # --------------------------------------------------------------------------

@@ -40,6 +40,7 @@ import numpy as np
 from . import curve, fq
 from . import ristretto_dev as rdev
 from . import sumcheck as sck
+from . import sumcheck_sl as scl
 from . import transcript_dev as tdev
 from .kernel_cache import cached_kernel
 
@@ -159,14 +160,22 @@ def _zk_round_tail(s, claim, comm_claim, e0, e2, e3, x, tab_n, tab_1):
 
 def _p1_scan_impl(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
                   claim0, comm_claim0, tab_n, tab_1,
-                  bp, be, bsc, dv, rd, rb, deltas, mode: int):
+                  bp, be, bsc, dv, rd, rb, deltas, mode: int,
+                  sublane: bool = False):
     def body(carry, x):
         s, tp, tq, tx, B, C, D, n_half, claim, comm_claim = carry
-        evd = sck._p1_evals_impl(tp, tq, tx, B, C, D, n_half, mode)
+        if sublane:
+            evd = scl.p1_evals(tp, tq, tx, B, C, D, n_half, mode)
+        else:
+            evd = sck._p1_evals_impl(tp, tq, tx, B, C, D, n_half, mode)
         s, r, eval_, comm_eval, ys = _zk_round_tail(
             s, claim, comm_claim, evd[0], evd[1], evd[2], x, tab_n, tab_1)
-        tp, tq, tx, B, C, D = sck._p1_bind_impl(
-            tp, tq, tx, B, C, D, r, n_half, mode)
+        if sublane:
+            tp, tq, tx, B, C, D = scl.p1_bind(
+                tp, tq, tx, B, C, D, r, n_half, mode)
+        else:
+            tp, tq, tx, B, C, D = sck._p1_bind_impl(
+                tp, tq, tx, B, C, D, r, n_half, mode)
         return (s, tp, tq, tx, B, C, D,
                 (n_half >> jnp.uint32(1)).astype(jnp.uint32),
                 eval_, comm_eval), ys
@@ -181,14 +190,21 @@ def _p1_scan_impl(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
 def _p2_scan_impl(ep, ABC, Z, n_half0, st, pos, pos_begin,
                   claim0, comm_claim0, tab_n, tab_1,
                   bp, be, bsc, dv, rd, rb, deltas,
-                  mode: int, single_inst: bool):
+                  mode: int, single_inst: bool, sublane: bool = False):
     def body(carry, x):
         s, ep, ABC, Z, n_half, claim, comm_claim = carry
-        evd = sck._p2_evals_impl(ep, ABC, Z, n_half, mode, single_inst)
+        if sublane:
+            evd = scl.p2_evals(ep, ABC, Z, n_half, mode, single_inst)
+        else:
+            evd = sck._p2_evals_impl(ep, ABC, Z, n_half, mode, single_inst)
         s, r, eval_, comm_eval, ys = _zk_round_tail(
             s, claim, comm_claim, evd[0], evd[1], evd[2], x, tab_n, tab_1)
-        ep, ABC, Z = sck._p2_bind_impl(ep, ABC, Z, r, n_half, mode,
-                                       single_inst)
+        if sublane:
+            ep, ABC, Z = scl.p2_bind(ep, ABC, Z, r, n_half, mode,
+                                     single_inst)
+        else:
+            ep, ABC, Z = sck._p2_bind_impl(ep, ABC, Z, r, n_half, mode,
+                                           single_inst)
         return (s, ep, ABC, Z,
                 (n_half >> jnp.uint32(1)).astype(jnp.uint32),
                 eval_, comm_eval), ys
@@ -199,23 +215,25 @@ def _p2_scan_impl(ep, ABC, Z, n_half0, st, pos, pos_begin,
     return (s[0], s[1], s[2], ep, ABC, Z, claim, comm_claim) + ys
 
 
-@cached_kernel(static_argnames=("mode",))
+@cached_kernel(static_argnames=("mode", "sublane"))
 def p1_zk_scan(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
                claim0, comm_claim0, tab_n, tab_1,
-               bp, be, bsc, dv, rd, rb, deltas, mode: int):
+               bp, be, bsc, dv, rd, rb, deltas, mode: int,
+               sublane: bool = False):
     return _p1_scan_impl(tp, tq, tx, B, C, D, n_half0, st, pos, pos_begin,
                          claim0, comm_claim0, tab_n, tab_1,
-                         bp, be, bsc, dv, rd, rb, deltas, mode)
+                         bp, be, bsc, dv, rd, rb, deltas, mode, sublane)
 
 
-@cached_kernel(static_argnames=("mode", "single_inst"))
+@cached_kernel(static_argnames=("mode", "single_inst", "sublane"))
 def p2_zk_scan(ep, ABC, Z, n_half0, st, pos, pos_begin,
                claim0, comm_claim0, tab_n, tab_1,
                bp, be, bsc, dv, rd, rb, deltas,
-               mode: int, single_inst: bool):
+               mode: int, single_inst: bool, sublane: bool = False):
     return _p2_scan_impl(ep, ABC, Z, n_half0, st, pos, pos_begin,
                          claim0, comm_claim0, tab_n, tab_1,
-                         bp, be, bsc, dv, rd, rb, deltas, mode, single_inst)
+                         bp, be, bsc, dv, rd, rb, deltas, mode, single_inst,
+                         sublane)
 
 
 # --------------------------------------------------------------------------
