@@ -116,7 +116,13 @@ def _f1600(lo, hi):
         hi = hi.at[0].set(hi[0] ^ rc_hi[i])
         return lo, hi
 
-    return jax.lax.fori_loop(0, 24, round_fn, (lo, hi))
+    # Unrolled off-CPU: dynamic-loop iterations on (25,)-lane tensors
+    # cost ~0.1 ms of TPU control-flow overhead each; the transcript
+    # permutes dominate the device ZK-round tail otherwise (see
+    # ops/ristretto_dev._unroll for the CPU caveat).
+    from .ristretto_dev import _unroll
+
+    return jax.lax.fori_loop(0, 24, round_fn, (lo, hi), unroll=_unroll())
 
 
 def permute(st):
