@@ -65,18 +65,43 @@ def _file_hash(path: str) -> str:
 
 
 def _src_hash(fn) -> str:
-    """Hash of the kernel's defining module + the core limb/field/curve
-    modules (+ jax version): edits to THOSE invalidate its disk cache."""
+    """Hash of the kernel's defining module, its direct in-package ops
+    imports, and the core limb/field/curve modules (+ jax version):
+    edits to any of those invalidate its disk cache. Without the
+    direct-import scan, editing e.g. ops/transcript_dev.py silently
+    left ops/zk_round.py's exported scans stale."""
+    import re
     import sys
 
     pkg = os.path.dirname(__file__)
-    paths = [os.path.join(pkg, dep) for dep in _CORE_DEPS]
+    own = os.path.join(pkg, "kernel_cache.py")  # infra, not codegen
+    paths = {os.path.join(pkg, dep) for dep in _CORE_DEPS}
+
+    def scan(path):
+        if path in paths or path == own or not os.path.exists(path):
+            return
+        paths.add(path)
+        try:
+            with open(path) as f:
+                src = f.read()
+        except OSError:
+            return
+        for grp in re.findall(
+                r"^\s*from\s+\.+(?:ops\.)?(\w+)\s+import|"
+                r"^\s*from\s+\.+(?:ops)?\s+import\s+([\w ,]+)",
+                src, re.M):
+            for names in grp:
+                for part in (names or "").split(","):
+                    name = part.strip().split(" ")[0]
+                    if name:
+                        scan(os.path.join(pkg, name + ".py"))
+
     mod = sys.modules.get(getattr(fn, "__module__", None))
     mod_file = getattr(mod, "__file__", None)
     if mod_file:
-        paths.append(mod_file)
+        scan(mod_file)
     h = hashlib.sha256()
-    for p in sorted(set(paths)):
+    for p in sorted(paths):
         h.update(_file_hash(p).encode())
     h.update(jax.__version__.encode())
     return h.hexdigest()[:16]

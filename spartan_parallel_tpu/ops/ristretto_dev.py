@@ -33,23 +33,13 @@ INVSQRT_A_MINUS_D_LIMBS = fp.const(INVSQRT_A_MINUS_D)
 # --------------------------------------------------------------------------
 # x^((P-5)/8) = x^(2^252 - 3): curve25519 pow22523 addition chain
 # --------------------------------------------------------------------------
-def _unroll() -> bool:
-    """Unroll static-trip device loops off-CPU: a dynamic fori_loop pays
-    ~0.1 ms/iteration of TPU control-flow overhead on tiny operands —
-    the ~254 squarings of the (p-5)/8 chain inside every ZK-round
-    compress made the device sumcheck TAIL (not the table sweep) the
-    per-round cost. XLA:CPU's compiler segfaults on the unrolled basic
-    block, so the loop form is kept there (numerically identical;
-    kernel-cache keys include the backend)."""
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:
-        return True
-
-
 def _nsquare(x, n: int):
-    return jax.lax.fori_loop(0, n, lambda _, v: fp.square(v), x,
-                             unroll=_unroll())
+    # Loop form deliberately kept: fully unrolling the ~254-square chain
+    # SIGKILLed the remote TPU compile helper (6.4 MB MLIR body) and
+    # segfaulted XLA:CPU. The device ZK-round tail costs ~0.5 s/round
+    # (probe: the table sweep is 0.1 ms/round) — the suspect is the
+    # dynamic-pos STROBE absorb/squeeze machinery, to be profiled next.
+    return jax.lax.fori_loop(0, n, lambda _, v: fp.square(v), x)
 
 
 def pow_p58(x):

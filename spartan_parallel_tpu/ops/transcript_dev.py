@@ -116,13 +116,9 @@ def _f1600(lo, hi):
         hi = hi.at[0].set(hi[0] ^ rc_hi[i])
         return lo, hi
 
-    # Unrolled off-CPU: dynamic-loop iterations on (25,)-lane tensors
-    # cost ~0.1 ms of TPU control-flow overhead each; the transcript
-    # permutes dominate the device ZK-round tail otherwise (see
-    # ops/ristretto_dev._unroll for the CPU caveat).
-    from .ristretto_dev import _unroll
-
-    return jax.lax.fori_loop(0, 24, round_fn, (lo, hi), unroll=_unroll())
+    # Loop form kept — see ops/ristretto_dev._nsquare for why full
+    # unrolling is not viable on either backend's compiler.
+    return jax.lax.fori_loop(0, 24, round_fn, (lo, hi))
 
 
 def permute(st):
