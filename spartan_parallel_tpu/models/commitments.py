@@ -125,10 +125,15 @@ def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
             out.append(multiscalar_mul(row, pts))
         return out
     canon = fq.to_canonical(jnp.asarray(rows_mont))
+    pts_dev = gens.device_points()
+    if all(int(x) == 0 for x in blinds):
+        # zero blinds (the fork passes None for every witness poly):
+        # 0*h = identity, so the h column can be dropped — keeps N a
+        # power of two for the MSM kernel and skips the blind upload.
+        return msm.msm(pts_dev[:n], canon)
     blind_limbs = jnp.asarray(
         lb.ints_to_limbs([int(x) for x in blinds]).reshape(b, 1, 16)
     )
     scal = jnp.concatenate([canon, blind_limbs], axis=1)
-    pts_dev = gens.device_points()
     idx = np.concatenate([np.arange(n), [gens.n]])
     return msm.msm(pts_dev[idx], scal)

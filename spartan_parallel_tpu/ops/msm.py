@@ -53,30 +53,43 @@ def digits_from_limbs(limbs):
     return jnp.stack([lo, hi], axis=-1).reshape(limbs.shape[:-1] + (32,))
 
 
-def _window_sum_sorted(points, digits):
-    """One window, one MSM row: digits (N,), points (N,4,16) -> (4,16)."""
-    n = points.shape[0]
-    order = jnp.argsort(digits)
-    ds = digits[order]
-    ps = jnp.take(points, order, axis=0)
+def _window_sum_flat(points, digits):
+    """One window, B MSM rows sharing the generator set.
+
+    digits (B, N); points (N, 4, 16) -> (B, 4, 16).
+
+    All rows sort TOGETHER under the composite key (row << 8 | digit):
+    one argsort + one associative point scan over the flat B*N axis, so
+    the batched Hyrax polycommit (dense_mlpoly.rs:183-197's rayon site)
+    costs the same as a single flat MSM of B*N points — the previous
+    vmap-of-per-row-pipelines form spent ~400x longer on the same work
+    (per-row tile-padded gathers and 256-bucket tails at N ~ 1k).
+    Bucket (b, v) is then a difference of two gathered prefix sums, and
+    the weighted bucket sum runs as a reversed scan along the v axis.
+    """
+    b, n = digits.shape
+    row_key = (jnp.arange(b * n, dtype=jnp.uint32) //
+               jnp.uint32(n)) << jnp.uint32(WINDOW_BITS)
+    key = row_key | digits.reshape(-1)
+    order = jnp.argsort(key)
+    ks = key[order]
+    ps = jnp.take(points, order % jnp.uint32(n), axis=0)
     # inclusive prefix sums of sorted points: work-efficient, log depth
     prefix = jax.lax.associative_scan(curve.point_add, ps, axis=0)
-    # bucket_b = prefix[end_b - 1] - prefix[start_b - 1]; prepend identity
+    # bucket (b, v) = prefix[end - 1] - prefix[start - 1]; row groups are
+    # contiguous under the composite key so differences never span rows.
     prefix_ext = jnp.concatenate(
         [jnp.asarray(curve.identity((1,))), prefix], axis=0)
-    bounds = jnp.searchsorted(
-        ds, jnp.arange(1, NUM_BUCKETS + 1, dtype=ds.dtype),
-        side="left")  # (256,): bounds[b-1] = start of bucket b
-    ends = jnp.concatenate([bounds[1:], jnp.full((1,), n, bounds.dtype)])
-    hi = jnp.take(prefix_ext, ends, axis=0)  # (256, 4, 16)
-    lo = jnp.take(prefix_ext, bounds, axis=0)
-    buckets = curve.point_add(hi, curve.point_neg(lo))  # buckets 1..256?
-    # buckets[i] is bucket value i+1 for i in 0..254; last entry is the
-    # (empty) range [start_256, n) = identity — drop it.
-    buckets = buckets[: NUM_BUCKETS - 1]  # values 1..255
+    starts = jnp.searchsorted(
+        ks, jnp.arange(b * NUM_BUCKETS, dtype=ks.dtype), side="left")
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), b * n, starts.dtype)])
+    hi = jnp.take(prefix_ext, ends, axis=0)  # (B*256, 4, 16)
+    lo = jnp.take(prefix_ext, starts, axis=0)
+    buckets = curve.point_add(hi, curve.point_neg(lo))
+    buckets = buckets.reshape(b, NUM_BUCKETS, 4, 16)[:, 1:]  # v = 1..255
     suffix = jax.lax.associative_scan(
-        curve.point_add, buckets, axis=0, reverse=True)
-    return curve.tree_reduce(suffix, axis=0)
+        curve.point_add, buckets, axis=1, reverse=True)
+    return curve.tree_reduce(suffix, axis=1)  # (B, 4, 16)
 
 
 @cached_kernel()
@@ -86,7 +99,7 @@ def _msm_sorted(points, limbs):
         limb_idx = w >> 1
         shift = (w & 1) << 3
         digits = (limbs[..., limb_idx] >> shift) & jnp.uint32(0xFF)  # (B,N)
-        win = jax.vmap(lambda d: _window_sum_sorted(points, d))(digits)
+        win = _window_sum_flat(points, digits)
         return None, win  # (B, 4, 16)
 
     _, wins = jax.lax.scan(win_body, None,
