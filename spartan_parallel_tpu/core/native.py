@@ -26,7 +26,8 @@ from .consts import (
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "native")
-_SRCS = [os.path.join(_NATIVE_DIR, f) for f in ("ristretto.c", "keccak.c")]
+_SRCS = [os.path.join(_NATIVE_DIR, f)
+         for f in ("ristretto.c", "keccak.c", "tdefl.c")]
 
 _lib = None
 _tried = False
@@ -82,6 +83,9 @@ def get() -> "ctypes.CDLL | None":
     lib.pt_decompress.restype = ctypes.c_int
     lib.pt_from_uniform.argtypes = [u8p, u8p]
     lib.keccak_f1600.argtypes = [u8p]
+    lib.spartan_tdefl_zlib.argtypes = [u8p, ctypes.c_long, u8p,
+                                       ctypes.c_long, ctypes.c_int]
+    lib.spartan_tdefl_zlib.restype = ctypes.c_long
 
     consts = b"".join(
         v.to_bytes(32, "little")

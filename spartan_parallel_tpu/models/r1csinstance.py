@@ -30,6 +30,28 @@ from .dense_mlpoly import (
 )
 
 
+def _deflate_digest(raw: bytes) -> bytes:
+    """Level-6 zlib stream for the instance digest: the native tdefl
+    port (native/tdefl.c — the miniz/miniz_oxide algorithm the reference
+    uses via flate2) when available, else CPython zlib. PARITY.md D1."""
+    import os
+    import zlib
+
+    if not os.environ.get("SPARTAN_DIGEST_ZLIB"):
+        from ..core import native
+
+        lib = native.get()
+        if lib is not None and hasattr(lib, "spartan_tdefl_zlib"):
+            import ctypes
+
+            cap = len(raw) + (len(raw) >> 6) + 1024
+            out = ctypes.create_string_buffer(cap)
+            n = lib.spartan_tdefl_zlib(raw, len(raw), out, cap, 6)
+            if n > 0:
+                return bytes(out.raw[:n])
+    return zlib.compress(raw, 6)
+
+
 class SparseMatPolynomial:
     """COO sparse multilinear matrix polynomial (sparse_mlpoly.rs:33)."""
 
@@ -126,12 +148,13 @@ class R1CSInstance:
         bincode 1.x default config: usize as u64 LE, Vec with u64 LE
         length prefix, [u64;4] Scalar as 32 raw bytes of the MONTGOMERY
         limbs (serde derives on Scalar's internal representation,
-        ristretto255.rs:199). Compression: zlib level 6 (flate2
-        Compression::default()). NOTE: zlib output across implementations
-        (miniz_oxide in the reference vs CPython's madler zlib) is not
-        guaranteed byte-identical at the same level — this is the one
-        documented potential divergence from libspartan here (PARITY.md).
-        """
+        ristretto255.rs:199). Compression: the reference compresses with
+        flate2's rust_backend = miniz_oxide at Compression::default()
+        (level 6); we compress with the tdefl-algorithm port in
+        native/tdefl.c (the same algorithm family miniz_oxide implements)
+        — PARITY.md D1 documents the residual port-fidelity risk. Set
+        SPARTAN_DIGEST_ZLIB=1 to use CPython's madler zlib instead (the
+        round-1/2 behavior)."""
         import struct
         import zlib
 
@@ -171,7 +194,8 @@ class R1CSInstance:
                 ent[:, 16:48] = lb.ints_to_limbs(list(mont)) \
                     .astype("<u2").view(np.uint8).reshape(n, 32)
                 parts.append(ent.tobytes())
-        self._digest = zlib.compress(b"".join(parts), 6)
+        raw = b"".join(parts)
+        self._digest = _deflate_digest(raw)
         return self._digest
 
     # --- Az/Bz/Cz (r1csinstance.rs:363-438) -------------------------------
