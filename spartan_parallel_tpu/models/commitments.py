@@ -68,6 +68,22 @@ class MultiCommitGens:
         return self._dev
 
 
+def _bulk_msm(points_dev, limbs) -> list:
+    """Device MSM for bulk commits; under an active prover_mesh the point
+    axis shards across chips (parallel/msm_sharded.py — the TPU analog of
+    the reference's rayon Hyrax commit, dense_mlpoly.rs:183-212)."""
+    from ..parallel.context import current_mesh
+
+    mesh = current_mesh()
+    n = int(points_dev.shape[0])
+    if (mesh is not None and mesh.devices.size > 1
+            and n % mesh.devices.size == 0 and n >= 2 * mesh.devices.size):
+        from ..parallel.msm_sharded import msm_sharded
+
+        return msm_sharded(mesh, points_dev, limbs)
+    return msm.msm(points_dev, limbs)
+
+
 def _to_int_rows(values) -> np.ndarray:
     """list[Scalar]/ints or (B, n) object array -> (B, n) object ints."""
     if isinstance(values, np.ndarray) and values.dtype == object:
@@ -105,7 +121,7 @@ def commit_rows(rows: np.ndarray, blinds, gens: MultiCommitGens):
     limbs_arr = lb.ints_to_limbs(list(scal.reshape(-1))).reshape(b, n + 1, 16)
     pts_dev = gens.device_points()
     idx = list(range(n)) + [gens.n]  # G[:n] ++ [h]
-    return msm.msm(pts_dev[np.array(idx)], limbs_arr)
+    return _bulk_msm(pts_dev[np.array(idx)], limbs_arr)
 
 
 def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
@@ -130,10 +146,10 @@ def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
         # zero blinds (the fork passes None for every witness poly):
         # 0*h = identity, so the h column can be dropped — keeps N a
         # power of two for the MSM kernel and skips the blind upload.
-        return msm.msm(pts_dev[:n], canon)
+        return _bulk_msm(pts_dev[:n], canon)
     blind_limbs = jnp.asarray(
         lb.ints_to_limbs([int(x) for x in blinds]).reshape(b, 1, 16)
     )
     scal = jnp.concatenate([canon, blind_limbs], axis=1)
     idx = np.concatenate([np.arange(n), [gens.n]])
-    return msm.msm(pts_dev[idx], scal)
+    return _bulk_msm(pts_dev[idx], scal)

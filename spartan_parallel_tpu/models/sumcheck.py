@@ -288,18 +288,17 @@ class ZKSumcheckInstanceProof:
                 # on unpadded (P, Q, 16, X) tiles (ops/sumcheck_sl.py)
                 from ..ops import fqf
 
-                out = zkr.p1_zk_scan(
+                out = zkr.p1_zk_scan_chunked(
                     fqf.to_sublane(tp), fqf.to_sublane(tq),
                     fqf.to_sublane(tx), fqf.to_sublane(B),
                     fqf.to_sublane(C), fqf.to_sublane(D),
-                    _np.uint32(live[mode] // 2),
+                    live[mode],
                     s0[0], s0[1], s0[2],
                     jnp.asarray(fq_encode([claim_per_round])[0]),
                     _np.frombuffer(comm_claim_per_round, _np.uint8)
                     .astype(_np.uint32),
                     _comb_tables(gens_n), _comb_tables(gens_1),
-                    xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
-                    xs["rb"], xs["deltas"], mode=mode, sublane=True)
+                    xs, mode=mode, sublane=True)
                 tp, tq, tx, B, C, D = (fqf.from_sublane(t)
                                        for t in out[3:9])
                 (cps, ces, prs, rss, claim_per_round,
@@ -433,15 +432,14 @@ class ZKSumcheckInstanceProof:
             s0 = tdev.from_host(transcript)
             meta = tuple((st["p0"], st["S"]) for st in cstate)
             flat = tuple(t for st in cstate for t in st["T"])
-            out = zkr.p1c_zk_scan(
-                tp, tq, tx, _np.uint32(live_x // 2),
+            out = zkr.p1c_zk_scan_chunked(
+                tp, tq, tx, live_x,
                 s0[0], s0[1], s0[2],
                 jnp.asarray(fq_encode([claim_per_round])[0]),
                 _np.frombuffer(comm_claim_per_round, _np.uint8)
                 .astype(_np.uint32),
                 _comb_tables(gens_n), _comb_tables(gens_1),
-                xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
-                xs["rb"], xs["deltas"], *flat, classes_meta=meta)
+                xs, flat, classes_meta=meta)
             tx = out[3]
             nc = len(cstate)
             for i, st in enumerate(cstate):
@@ -630,17 +628,15 @@ class ZKSumcheckInstanceProof:
             s0 = tdev.from_host(transcript)
             from ..ops import fqf
 
-            out = zkr.p2_zk_scan(
+            out = zkr.p2_zk_scan_chunked(
                 fqf.to_sublane(ep), fqf.to_sublane(ABC), fqf.to_sublane(Z),
-                _np.uint32(live[MODE_X] // 2),
+                live[MODE_X],
                 s0[0], s0[1], s0[2],
                 jnp.asarray(fq_encode([claim_per_round])[0]),
                 _np.frombuffer(comm_claim_per_round, _np.uint8)
                 .astype(_np.uint32),
                 _comb_tables(gens_n), _comb_tables(gens_1),
-                xs["bp"], xs["be"], xs["bsc"], xs["dv"], xs["rd"],
-                xs["rb"], xs["deltas"], mode=MODE_X,
-                single_inst=single_inst, sublane=True)
+                xs, mode=MODE_X, single_inst=single_inst, sublane=True)
             ep, ABC, Z = (fqf.from_sublane(t) for t in out[3:6])
             (comm_polys, comm_evals, proofs, r, claim_per_round,
              comm_claim_per_round) = _scan_finish(

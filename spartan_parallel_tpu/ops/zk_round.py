@@ -237,6 +237,162 @@ def p2_zk_scan(ep, ABC, Z, n_half0, st, pos, pos_begin,
 
 
 # --------------------------------------------------------------------------
+# Chunked segments: a lax.scan's fixed shapes make every round sweep the
+# FULL initial buffer, so a k-round segment over an N-table costs k*N when
+# the fold geometry only needs 2N. These wrappers split a segment into
+# chunks: one single-round scan per size while the fold axis is large
+# (physically halving the tensors between chunks — a static slice of the
+# live prefix), then one multi-round scan for the small tail. Chunks chain
+# entirely on device (transcript state, claim, tables stay as device
+# arrays; JAX dispatch is async) so there are no host syncs between them;
+# proof bytes are identical to the single-scan form (the per-round math
+# and tape-draw order are unchanged).
+# --------------------------------------------------------------------------
+def _chunk_tail() -> int:
+    """Below this fold-axis size one scan runs all remaining rounds
+    (tunable for tests / tiny-HBM hosts via SPARTAN_CHUNK_TAIL)."""
+    import os
+
+    return int(os.environ.get("SPARTAN_CHUNK_TAIL", str(1 << 14)))
+
+
+def _chunk_step() -> int:
+    """Rounds per chunk above the tail. step=1 gives ~2N total sweep work
+    but one compile per size; step=k costs k/(1-2^-k)*N work with 1/k the
+    compiles (SPARTAN_CHUNK_STEP)."""
+    import os
+
+    return max(1, int(os.environ.get("SPARTAN_CHUNK_STEP", "1")))
+
+
+def _chunk_sched(live: int, cnt: int):
+    """[(rounds, size_before_chunk)] covering cnt rounds from live."""
+    tail = _chunk_tail()
+    step = _chunk_step()
+    out, size, left = [], live, cnt
+    while left > 0:
+        c = min(step, left) if (size > tail and left > 1) else left
+        out.append((c, size))
+        size = max(1, size >> c)
+        left -= c
+    return out
+
+
+def _slice_live(t, n: int, axis: int):
+    axis = axis % t.ndim
+    if t.shape[axis] > n:
+        t = jax.lax.slice_in_dim(t, 0, n, axis=axis)
+    return t
+
+
+def _cat_ys(parts):
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                 for i in range(len(parts[0])))
+
+
+def _xs_slice(xs, lo: int, hi: int):
+    return (xs["bp"][lo:hi], xs["be"][lo:hi], xs["bsc"][lo:hi],
+            xs["dv"][lo:hi], xs["rd"][lo:hi], xs["rb"][lo:hi],
+            xs["deltas"][lo:hi])
+
+
+def p1_zk_scan_chunked(tp, tq, tx, B, C, D, live: int, st, pos, pos_begin,
+                       claim, comm_claim, tab_n, tab_1, xs, mode: int,
+                       sublane: bool = True):
+    """Chunked p1 segment. Same return layout as p1_zk_scan, with the
+    fold-axis tensors compacted to their final live length."""
+    cnt = len(xs["rd"])
+    eq_i = {sck.MODE_X: 2, sck.MODE_Q: 1, sck.MODE_P: 0}[mode]
+    if sublane:
+        bcd_ax = {sck.MODE_X: 3, sck.MODE_Q: 1, sck.MODE_P: 0}[mode]
+        eq_ax = -1
+    else:
+        bcd_ax = {sck.MODE_X: 2, sck.MODE_Q: 1, sck.MODE_P: 0}[mode]
+        eq_ax = 0
+    tabs = [tp, tq, tx]
+    ys_parts, off = [], 0
+    for c, size in _chunk_sched(live, cnt):
+        out = p1_zk_scan(tabs[0], tabs[1], tabs[2], B, C, D,
+                         np.uint32(size // 2), st, pos, pos_begin,
+                         claim, comm_claim, tab_n, tab_1,
+                         *_xs_slice(xs, off, off + c),
+                         mode=mode, sublane=sublane)
+        st, pos, pos_begin = out[0:3]
+        tabs = list(out[3:6])
+        B, C, D = out[6:9]
+        claim, comm_claim = out[9:11]
+        ys_parts.append(out[11:18])
+        size = max(1, size >> c)
+        tabs[eq_i] = _slice_live(tabs[eq_i], size, eq_ax)
+        B = _slice_live(B, size, bcd_ax)
+        C = _slice_live(C, size, bcd_ax)
+        D = _slice_live(D, size, bcd_ax)
+        off += c
+    return (st, pos, pos_begin, tabs[0], tabs[1], tabs[2], B, C, D,
+            claim, comm_claim) + _cat_ys(ys_parts)
+
+
+def p2_zk_scan_chunked(ep, ABC, Z, live: int, st, pos, pos_begin,
+                       claim, comm_claim, tab_n, tab_1, xs, mode: int,
+                       single_inst: bool, sublane: bool = True):
+    """Chunked p2 segment. Same return layout as p2_zk_scan."""
+    cnt = len(xs["rd"])
+    if sublane:
+        ax = {sck.MODE_X: 3, sck.MODE_W: 1, sck.MODE_P: 0}[mode]
+    else:
+        ax = {sck.MODE_X: 2, sck.MODE_W: 1, sck.MODE_P: 0}[mode]
+    ys_parts, off = [], 0
+    for c, size in _chunk_sched(live, cnt):
+        out = p2_zk_scan(ep, ABC, Z, np.uint32(size // 2),
+                         st, pos, pos_begin, claim, comm_claim,
+                         tab_n, tab_1, *_xs_slice(xs, off, off + c),
+                         mode=mode, single_inst=single_inst,
+                         sublane=sublane)
+        st, pos, pos_begin = out[0:3]
+        ep, ABC, Z = out[3:6]
+        claim, comm_claim = out[6:8]
+        ys_parts.append(out[8:15])
+        size = max(1, size >> c)
+        Z = _slice_live(Z, size, ax)
+        if not (mode == sck.MODE_P and single_inst):
+            ABC = _slice_live(ABC, size, ax)
+        if mode == sck.MODE_P:
+            ep = _slice_live(ep, size, -1 if sublane else 0)
+        off += c
+    return (st, pos, pos_begin, ep, ABC, Z, claim, comm_claim) + \
+        _cat_ys(ys_parts)
+
+
+def p1c_zk_scan_chunked(tp, tq, tx, live: int, st, pos, pos_begin,
+                        claim, comm_claim, tab_n, tab_1, xs,
+                        class_tensors: tuple, classes_meta: tuple):
+    """Chunked classed x-segment (limb-last tensors, MODE_X only).
+    Same return layout as p1c_zk_scan."""
+    cnt = len(xs["rd"])
+    nc = len(classes_meta)
+    flat = list(class_tensors)
+    ys_parts, off = [], 0
+    for c, size in _chunk_sched(live, cnt):
+        out = p1c_zk_scan(tp, tq, tx, np.uint32(size // 2),
+                          st, pos, pos_begin, claim, comm_claim,
+                          tab_n, tab_1, *_xs_slice(xs, off, off + c),
+                          *flat, classes_meta=classes_meta)
+        st, pos, pos_begin = out[0:3]
+        tx = out[3]
+        claim, comm_claim = out[4:6]
+        flat = list(out[6:6 + 3 * nc])
+        ys_parts.append(out[6 + 3 * nc:])
+        size = max(1, size >> c)
+        tx = _slice_live(tx, size, 0)
+        flat = [_slice_live(t, size, 2) for t in flat]
+        off += c
+    return (st, pos, pos_begin, tx, claim, comm_claim) + tuple(flat) + \
+        _cat_ys(ys_parts)
+
+
+# --------------------------------------------------------------------------
 # q-size-classed phase-1 x-segment (models/sumcheck.prove_phase1_classed):
 # every class is ACTIVE during x rounds, so the per-round evals are the sum
 # of the per-class contributions and each class binds its own x axis.

@@ -31,16 +31,29 @@ def current_mesh():
     return getattr(_STATE, "mesh", None)
 
 
-def shard_axis_name() -> str:
-    return getattr(_STATE, "axis", "q")
+def shard_axis_name():
+    """Axis name(s) big tensors shard over: a single name, or a tuple for
+    a multi-axis (host, chip) mesh — PartitionSpec flattens the tuple, so
+    one tensor dim spans all devices with chips fastest-varying."""
+    axis = getattr(_STATE, "axis", None)
+    if axis is not None:
+        return axis
+    mesh = current_mesh()
+    if mesh is None:
+        return "q"
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
 
 
 @contextlib.contextmanager
-def prover_mesh(mesh, axis: str = "q", min_shard_elems: int = 1):
-    """Activate data-parallel sharding for proves inside the context."""
+def prover_mesh(mesh, axis=None, min_shard_elems: int = 1):
+    """Activate data-parallel sharding for proves inside the context.
+
+    axis: mesh axis name (or tuple) to shard over; default = every mesh
+    axis, so a two-axis (host, chip) mesh shards over both."""
     from ..ops import kernel_cache
 
-    prev = (getattr(_STATE, "mesh", None), getattr(_STATE, "axis", "q"),
+    prev = (getattr(_STATE, "mesh", None), getattr(_STATE, "axis", None),
             getattr(_STATE, "min", 1))
     prev_disabled = kernel_cache._DISABLED
     _STATE.mesh = mesh

@@ -36,6 +36,23 @@ def make_mesh(n_devices: int | None = None, axis: str = "q") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2(n_hosts: int, n_chips: int,
+               axes: tuple = ("host", "chip")) -> Mesh:
+    """Two-axis (host, chip) mesh (SURVEY.md §2.3): the chip axis rides
+    ICI within a slice, the host axis crosses DCN. Big prover tensors
+    shard over BOTH axes (shard_big flattens them), so per-round
+    contractions reduce over chips first (ICI) and only the (3, 16)
+    partial per host crosses DCN; MSM partials reduce the same way."""
+    import numpy as np
+
+    devs = jax.devices()
+    assert len(devs) >= n_hosts * n_chips, \
+        f"need {n_hosts * n_chips} devices, have {len(devs)}"
+    return Mesh(
+        np.array(devs[: n_hosts * n_chips]).reshape(n_hosts, n_chips),
+        axes)
+
+
 def shard_q(mesh: Mesh, arr, axis: int = 1):
     """Place arr with its q axis sharded over the mesh."""
     spec = [None] * arr.ndim

@@ -123,6 +123,83 @@ def test_driver_run_from_files(tmp_path):
     run(ctk, rtk, vars_bound=64)
 
 
+def build_counter_mem_ctk_rtk():
+    """The memory-exercising counter (tests/test_snark_mem.py) as
+    CTK/RTK: nonzero phy/vir ops, init stack/mem, ts bits — the fixture
+    shape the reference's zok benchmarks use (interface.rs:198-220)."""
+    from .test_snark_mem import NUM_VARS as MEM_NUM_VARS
+    from .test_snark_mem import build_mem_program
+
+    args, pa = build_mem_program()
+    ctk = CompileTimeKnowledge(
+        block_num_instances=2,
+        num_vars=MEM_NUM_VARS,
+        num_inputs_unpadded=3,
+        num_vars_per_block=[MEM_NUM_VARS, MEM_NUM_VARS],
+        block_num_phy_ops=pa["block_num_phy_ops"],
+        block_num_vir_ops=pa["block_num_vir_ops"],
+        max_ts_width=6,
+        args=args,
+        input_liveness=pa["input_liveness"],
+        func_input_width=pa["func_input_width"],
+        input_offset=pa["input_offset"],
+        input_block_num=pa["input_block_num"],
+        output_offset=pa["output_offset"],
+        output_block_num=pa["output_block_num"],
+    )
+    rtk = RunTimeKnowledge(
+        block_max_num_proofs=pa["block_max_num_proofs"],
+        block_num_proofs=pa["block_num_proofs"],
+        consis_num_proofs=pa["consis_num_proofs"],
+        total_num_init_phy_mem_accesses=pa[
+            "total_num_init_phy_mem_accesses"],
+        total_num_init_vir_mem_accesses=pa[
+            "total_num_init_vir_mem_accesses"],
+        total_num_phy_mem_accesses=pa["total_num_phy_mem_accesses"],
+        total_num_vir_mem_accesses=pa["total_num_vir_mem_accesses"],
+        block_vars_matrix=pa["block_vars_mat"],
+        exec_inputs=pa["exec_inputs_list"],
+        init_phy_mems_list=pa["init_phy_mems_list"],
+        init_vir_mems_list=pa["init_vir_mems_list"],
+        addr_phy_mems_list=pa["addr_phy_mems_list"],
+        addr_vir_mems_list=pa["addr_vir_mems_list"],
+        addr_ts_bits_list=pa["addr_ts_bits_list"],
+        input=pa["input_"],
+        input_stack=pa["input_stack"],
+        input_mem=pa["input_mem"],
+        output=pa["output"],
+        output_exec_num=pa["output_exec_num"],
+    )
+    return ctk, rtk
+
+
+def test_ctk_rtk_mem_golden_fixture():
+    """Memory-program wire format pinned (counter_mem_bin.{ctk,rtk})."""
+    ctk, rtk = build_counter_mem_ctk_rtk()
+    for name, data in (("counter_mem_bin.ctk", ctk.serialize()),
+                       ("counter_mem_bin.rtk", rtk.serialize())):
+        path = os.path.join(FIXTURE_DIR, name)
+        with open(path, "rb") as f:
+            golden = f.read()
+        assert hashlib.sha256(data).hexdigest() == \
+            hashlib.sha256(golden).hexdigest(), f"{name} drifted"
+    ctk2 = CompileTimeKnowledge.deserialize(ctk.serialize())
+    rtk2 = RunTimeKnowledge.deserialize(rtk.serialize())
+    assert ctk2.serialize() == ctk.serialize()
+    assert rtk2.serialize() == rtk.serialize()
+
+
+def test_driver_run_mem_from_files():
+    """interface.rs end-to-end on the MEMORY fixture: every mem subsystem
+    (init mems, phy/vir addr traces, ts bits) drives through the full
+    prove+verify from bincode files."""
+    ctk = CompileTimeKnowledge.from_file(
+        os.path.join(FIXTURE_DIR, "counter_mem_bin.ctk"))
+    rtk = RunTimeKnowledge.from_file(
+        os.path.join(FIXTURE_DIR, "counter_mem_bin.rtk"))
+    run(ctk, rtk, vars_bound=64)
+
+
 def test_driver_default_vars_bound_gens():
     """R1CSGens must accept the non-power-of-two TOTAL_NUM_VARS_BOUND
     (Math::log_2 rounds up; round-1 advisory crash)."""

@@ -102,6 +102,39 @@ def test_r1csproof_device_rounds_bit_exact(monkeypatch):
     assert dev[0] == host[0], "proof bytes differ"
 
 
+def test_r1csproof_chunked_device_rounds_bit_exact(monkeypatch):
+    """Chunked segment scans (ops/zk_round.py p*_zk_scan_chunked) must be
+    byte-identical to the host loop: SPARTAN_CHUNK_TAIL=8 forces the
+    64-wide x/y segments to split into per-size chunks with physical
+    halving between rounds."""
+    from spartan_parallel_tpu import serialization as ser
+
+    n = 64
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        1, [1], n, n, 4, seed=21)
+    nv = inst.get_num_vars() // 2
+    gens = R1CSGens(b"test_zkr", n, nv)
+    vars_sec, io_sec = _vars_io_secs(inst, vars_mat, inputs_mat, [1])
+
+    def run():
+        tape = RandomTape(b"proof", seed=b"\x0c" * 32)
+        tp = Transcript(b"zkr_test")
+        proof, r = R1CSProof.prove(
+            1, 1, [1], nv, [nv], [vars_sec, io_sec], inst, gens, tp, tape)
+        return ser.serialize(proof, "R1CSProof"), r, \
+            tp.challenge_scalar(b"probe")
+
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "1")
+    monkeypatch.setenv("SPARTAN_CHUNK_TAIL", "8")
+    dev = run()
+    monkeypatch.delenv("SPARTAN_CHUNK_TAIL")
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "0")
+    host = run()
+    assert dev[1] == host[1], "evaluation points differ"
+    assert dev[2] == host[2], "transcript states differ"
+    assert dev[0] == host[0], "proof bytes differ"
+
+
 def test_r1csproof_classed_device_rounds_bit_exact(monkeypatch):
     """Skewed num_proofs routes through the q-size-classed prover; its
     device x-segment scan (p1c_zk_scan) must also be byte-identical.
