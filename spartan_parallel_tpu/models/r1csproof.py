@@ -252,6 +252,25 @@ def q_classes(num_proofs):
     return classes
 
 
+def _z_place(z, mat, p: int, q_count: int, w: int, ni: int):
+    """Place one witness block into z[p, :q_count, w, :ni] ON DEVICE.
+
+    The previous host-numpy assembly downloaded every w_mat through the
+    TPU relay, whose device->host path runs ~1.5 MB/s (measured) — 170 s
+    of pure transfer on the DP bench. dynamic_update_slice keeps the
+    whole assembly on device; uploads never happen (w_mat is already
+    device-resident) and downloads never happen at all."""
+    import jax as _jax
+
+    mat = jnp.asarray(mat)
+    if mat.shape[0] == 1 and q_count > 1:
+        blk = jnp.broadcast_to(mat[0, :ni], (q_count, ni, 16))
+    else:
+        blk = mat[:q_count, :ni]
+    return _jax.lax.dynamic_update_slice(
+        z, blk[None, :, None], (p, 0, w, 0, 0))
+
+
 def assemble_z_classed(classes, num_proofs, num_inputs, max_num_inputs,
                        witness_secs):
     """Per-class dense natural-order z tensors: list of
@@ -260,18 +279,14 @@ def assemble_z_classed(classes, num_proofs, num_inputs, max_num_inputs,
     W = next_pow2(len(witness_secs))
     outs = []
     for (p0, P_c, Q_c) in classes:
-        z = np.zeros((P_c, Q_c, W, max_num_inputs, 16), np.uint32)
+        z = jnp.zeros((P_c, Q_c, W, max_num_inputs, 16), jnp.uint32)
         for w, ws in enumerate(witness_secs):
             for i in range(P_c):
                 p = p0 + i
                 p_w = 0 if len(ws.w_mat) == 1 else p
-                mat = np.asarray(ws.w_mat[p_w])
                 ni = min(ws.num_inputs[p_w], num_inputs[p])
-                if mat.shape[0] == 1:
-                    z[i, :, w, :ni] = mat[0, :ni][None]
-                else:
-                    z[i, :, w, :ni] = mat[:Q_c, :ni]
-        outs.append(jnp.asarray(z))
+                z = _z_place(z, ws.w_mat[p_w], i, Q_c, w, ni)
+        outs.append(z)
     return outs
 
 
@@ -283,18 +298,13 @@ def assemble_z(num_instances, num_proofs, max_num_proofs, num_inputs,
     """
     W = next_pow2(len(witness_secs))
     P = next_pow2(num_instances)
-    z = np.zeros((P, max_num_proofs, W, max_num_inputs, 16), np.uint32)
+    z = jnp.zeros((P, max_num_proofs, W, max_num_inputs, 16), jnp.uint32)
     for w, ws in enumerate(witness_secs):
         for p in range(num_instances):
             p_w = 0 if len(ws.w_mat) == 1 else p
-            mat = np.asarray(ws.w_mat[p_w])  # (Q_w, n_i, 16)
             ni = min(ws.num_inputs[p_w], num_inputs[p])
-            qp = num_proofs[p]
-            if mat.shape[0] == 1:
-                z[p, :qp, w, :ni] = mat[0, :ni][None]
-            else:
-                z[p, :qp, w, :ni] = mat[:qp, :ni]
-    return jnp.asarray(z)
+            z = _z_place(z, ws.w_mat[p_w], p, num_proofs[p], w, ni)
+    return z
 
 
 class R1CSProof:
