@@ -49,8 +49,10 @@ def measured_field_mul_peak() -> float:
     from spartan_parallel_tpu.core.consts import L
     from spartan_parallel_tpu.ops import fq
 
-    n = 1 << 18
-    reps_inner = 8
+    # Enough muls per dispatch that compute (not the ~25 ms remote-relay
+    # dispatch latency) dominates: 2^19 * 96 = 50M muls ~ tens of ms.
+    n = 1 << 19
+    reps_inner = 96
     rng = np.random.default_rng(7)
     vals = [int.from_bytes(rng.bytes(40), "little") % L for _ in range(256)]
     a = jnp.asarray(np.tile(fq.encode(vals), (n // 256, 1)))
@@ -518,10 +520,27 @@ def main() -> None:
         # Default: the north-star metrics (BASELINE.md §C) in one run —
         # MSM 2^20 (config: points/s/chip), the data-parallel R1CSProof
         # (config 4), and LAST the headline nizk_prove_2^20 (config 3),
-        # so the driver's parsed line is the north star.
-        bench_msm(20)
-        bench_dp(20)
-        bench_nizk(20)
+        # so the driver's parsed line is the north star when it lands.
+        # Each section runs as a subprocess under its own wall budget:
+        # a cold kernel-cache machine can sink hours into XLA compiles
+        # (unkillable from a Python signal handler), and one hung
+        # section must not zero out the whole artifact.
+        import subprocess
+
+        sections = [("BENCH_MSM_LOGN", "20", 2400),
+                    ("BENCH_DP_LOGN", "20", 3000),
+                    ("BENCH_NIZK_LOGN", "20", 4200)]
+        budget_scale = float(os.environ.get("BENCH_BUDGET_SCALE", "1"))
+        for var, logn, budget in sections:
+            env = dict(os.environ)
+            env[var] = logn
+            try:
+                subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=budget * budget_scale)
+            except subprocess.TimeoutExpired:
+                print(json.dumps({"aux": "bench_section_timeout",
+                                  "section": var, "budget_s": budget}),
+                      file=sys.stderr)
 
 
 if __name__ == "__main__":
