@@ -105,9 +105,26 @@ def bench_msm(logn: int) -> None:
     scalars = [int.from_bytes(rng.bytes(40), "little") % L for _ in range(n)]
     limbs = lb.ints_to_limbs(scalars)
 
-    # compile + warm
+    # compile + warm. The remote axon compile helper can get OOM-killed
+    # on the largest kernel graphs (observed: HTTP 500 "subprocess exit
+    # signal SIGKILL" on the 2^20 flat-scan MSM); a number at a smaller N
+    # beats no number, so retry once and then halve N down to 2^16.
     if not os.environ.get("BENCH_COLD"):
-        jax.block_until_ready(msm.msm_dev(points, limbs))
+        for attempt in range(8):
+            try:
+                jax.block_until_ready(msm.msm_dev(points, limbs))
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                print(json.dumps({
+                    "aux": "msm_compile_retry", "logn": logn,
+                    "err": str(e)[:200]}), file=sys.stderr)
+                if attempt % 2 == 1 and logn > 16:
+                    logn -= 1
+                    n = 1 << logn
+                    points = points[:n]
+                    limbs = limbs[:n]
+        else:
+            raise RuntimeError("msm bench: compile failed at every size")
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
