@@ -13,16 +13,40 @@ import os as _os
 # Persistent XLA compilation cache: the prover's kernels are few but their
 # limb-arithmetic graphs are large, and a cold compile costs 10-45 s per
 # kernel on a small host. Caching makes that a once-per-machine cost.
-# (XLA:CPU AOT reload warns about the +prefer-no-gather/-scatter tuning
-# pseudo-features not being listed among "host machine features"; on the
-# same machine the real ISA features match and reload is safe — verified.)
 # Opt out with SPARTAN_NO_JAX_CACHE=1.
+
+
+def _host_fingerprint() -> str:
+    """Short digest of this host's CPU identity. XLA:CPU cache entries are
+    compiled machine code tuned to the compile host's ISA features; a home
+    directory shared across machines (observed in CI) otherwise serves
+    entries whose features do not exist here — cpu_aot_loader then warns
+    about possible SIGILL on every load. Keying the cache DIRECTORY on the
+    CPU-feature set makes a foreign cache invisible instead of poisonous."""
+    import hashlib as _hashlib
+
+    ident = []
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith(("flags", "model name")):
+                    ident.append(_line.strip())
+                    if len(ident) >= 2:
+                        break
+    except OSError:
+        import platform as _platform
+
+        ident.append(_platform.processor() or _platform.machine())
+    return _hashlib.sha256("|".join(ident).encode()).hexdigest()[:12]
+
+
 if not _os.environ.get("SPARTAN_NO_JAX_CACHE"):
     import jax as _jax
 
     _cache_dir = _os.environ.get(
         "SPARTAN_JAX_CACHE_DIR",
-        _os.path.expanduser("~/.cache/spartan_parallel_tpu/jax"))
+        _os.path.expanduser(
+            "~/.cache/spartan_parallel_tpu/jax-" + _host_fingerprint()))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
