@@ -477,11 +477,107 @@ def bench_scaling(logn: int = 20) -> None:
         "eff": {str(d): round(e, 3) for d, e in sc_effs.items()},
     }), file=sys.stderr)
 
+    # Measured (not projected) virtual-mesh run: the SAME sharded-MSM
+    # program the multi-chip prover executes, timed on however many local
+    # devices exist. On the 8-virtual-CPU-device mesh all shards share one
+    # physical core, so this cannot show speedUP; what it measures is the
+    # sharding OVERHEAD (collectives + partitioning) at identical compute:
+    # t_sharded/t_single ~ 1.0 means the decomposition adds ~nothing and
+    # the projection above is the binding estimate of real-chip scaling.
+    import jax as _jax
+
+    n_dev = _jax.local_device_count()
+    if n_dev > 1:
+        from spartan_parallel_tpu.parallel.mesh import make_mesh
+        from spartan_parallel_tpu.parallel.msm_sharded import msm_sharded_dev
+
+        mesh = make_mesh(n_dev)
+        k = min(n, 1 << 16)  # keep the CPU-backend run in seconds
+        p_k, s_k = points[:k], jnp.asarray(limbs[:k])
+
+        def time_fn(f):
+            jax.block_until_ready(f())
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out = f()
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / reps
+
+        t_single = time_fn(lambda: msm.msm_dev(p_k, s_k))
+        t_shard = time_fn(lambda: msm_sharded_dev(mesh, p_k, s_k))
+        print(json.dumps({
+            "aux": "msm_sharded_measured_virtual_mesh",
+            "n_devices": n_dev, "logn": int(np.log2(k)),
+            "t_single_dev_s": round(t_single, 4),
+            "t_sharded_s": round(t_shard, 4),
+            "sharding_overhead": round(t_shard / t_single, 3),
+        }), file=sys.stderr)
+
     print(json.dumps({
         "metric": f"scaling_efficiency_8dev_2^{logn}",
         "value": round(min(effs[8], sc_effs[8]), 3),
         "unit": "fraction",
         "vs_baseline": round(min(effs[8], sc_effs[8]) / 0.75, 3),
+    }))
+
+
+def bench_findmin() -> None:
+    """find_min-shaped workload (BASELINE §B): the full 9-stage SNARK on a
+    synthetic zkVM trace with P=9 blocks of 8192 constraints and skewed
+    execution counts — the reference's recorded find_min run proves this
+    shape in 67.508 s and verifies in 318 ms
+    (writeups/runtime_comparison/find_min.txt:64,232,307).
+
+    BENCH_FINDMIN_SCALE shrinks the trace (default 1 = full shape);
+    vs_baseline scales the reference time by the SAT-work ratio."""
+    import time
+
+    from spartan_parallel_tpu import examples as ex
+    from spartan_parallel_tpu import serialization as ser
+
+    scale = int(os.environ.get("BENCH_FINDMIN_SCALE", "1"))
+    ncons = max(64, 8192 // scale)
+    execs = [max(1, q // scale) for q in (64, 16, 16, 16, 4, 4, 4, 2, 2)]
+    args, pa = ex.build_synthetic_zkvm(num_blocks=9, block_cons=ncons,
+                                       num_execs=execs)
+    t0 = time.perf_counter()
+    ctx = ex.setup_program_instances(args, pa)
+    encode_s = time.perf_counter() - t0
+
+    def prove_once():
+        t0 = time.perf_counter()
+        proof = ex.prove_program(pa, ctx, label=b"findmin_bench")
+        return proof, time.perf_counter() - t0
+
+    if not os.environ.get("BENCH_COLD"):
+        _, cold_s = prove_once()
+        print(json.dumps({"aux": "findmin_cold_prove_s",
+                          "value": round(cold_s, 3)}), file=sys.stderr)
+    proof, prove_s = prove_once()
+
+    t0 = time.perf_counter()
+    ex.verify_program(proof, pa, ctx, label=b"findmin_bench")
+    verify_s = time.perf_counter() - t0
+
+    # reference prove covers sigma_work = SUM_q ncons over the find_min
+    # trace (9 blocks x 8192 cons, ~124 execs); scale linearly for
+    # reduced shapes.
+    work = sum(execs) * ncons
+    ref_work = sum((64, 16, 16, 16, 4, 4, 4, 2, 2)) * 8192
+    baseline_s = 67.508 * work / ref_work
+    print(json.dumps({
+        "aux": "findmin_detail", "encode_s": round(encode_s, 3),
+        "verify_s": round(verify_s, 3),
+        "reference_verify_s": 0.318,
+        "proof_compressed_bytes": ser.compressed_size(proof, "SNARK"),
+        "ncons": ncons, "num_execs": execs,
+    }), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"findmin_shaped_snark_prove_work_{work}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
     }))
 
 
@@ -502,6 +598,9 @@ def _tpu_relay_alive() -> bool:
 
 
 def main() -> None:
+    # silence the benign-but-bulky cpu_aot_loader reload errors (see
+    # __graft_entry__.py) so metric lines survive in the artifact tail
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     if (not os.environ.get("BENCH_FORCE_CPU")
             and os.environ.get("JAX_PLATFORMS", "").startswith("axon")
             and not _tpu_relay_alive()):
@@ -525,6 +624,8 @@ def main() -> None:
     msm_logn = os.environ.get("BENCH_MSM_LOGN")
     if os.environ.get("BENCH_SCALING"):
         bench_scaling(int(os.environ.get("BENCH_SCALING_LOGN", "20")))
+    elif os.environ.get("BENCH_FINDMIN"):
+        bench_findmin()
     elif nizk_logn:
         bench_nizk(int(nizk_logn))
     elif snark_logn:
@@ -534,30 +635,88 @@ def main() -> None:
     elif msm_logn:
         bench_msm(int(msm_logn))
     else:
-        # Default: the north-star metrics (BASELINE.md §C) in one run —
-        # MSM 2^20 (config: points/s/chip), the data-parallel R1CSProof
-        # (config 4), and LAST the headline nizk_prove_2^20 (config 3),
-        # so the driver's parsed line is the north star when it lands.
-        # Each section runs as a subprocess under its own wall budget:
-        # a cold kernel-cache machine can sink hours into XLA compiles
-        # (unkillable from a Python signal handler), and one hung
-        # section must not zero out the whole artifact.
-        import subprocess
+        _ladder()
 
-        sections = [("BENCH_MSM_LOGN", "20", 2400),
-                    ("BENCH_DP_LOGN", "20", 3000),
-                    ("BENCH_NIZK_LOGN", "20", 4200)]
-        budget_scale = float(os.environ.get("BENCH_BUDGET_SCALE", "1"))
-        for var, logn, budget in sections:
-            env = dict(os.environ)
-            env[var] = logn
+
+def _ladder() -> None:
+    """Default mode: run the benchmark ladder cheapest-first under one
+    global wall budget, so a stone-cold machine still lands its first
+    metric within minutes and every remaining second buys a bigger one.
+
+    Round-3 lesson: three sections with 2400-4200 s budgets, expensive
+    compiles first, produced an EMPTY artifact when the driver's outer
+    timeout fired before the first metric printed. Now each rung runs as
+    a subprocess under min(its own cap, remaining global budget); its
+    stdout is relayed immediately (so a metric printed before a later
+    hang still reaches the artifact), and the parent finishes by
+    re-printing every captured metric in headline order — the LAST line
+    is the most headline-worthy metric that actually landed."""
+    import subprocess
+
+    budget_scale = float(os.environ.get("BENCH_BUDGET_SCALE", "1"))
+    total = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
+    total *= budget_scale
+    t_start = time.perf_counter()
+
+    # (env_var, value, cap_s, headline_rank) — cheapest compile first.
+    # rank orders the final re-print; the largest-rank landed metric ends
+    # up last on stdout (= the driver's parsed headline number).
+    rungs = [
+        ("BENCH_MSM_LOGN", "16", 420, 1),
+        ("BENCH_NIZK_LOGN", "14", 420, 2),
+        ("BENCH_MSM_LOGN", "20", 480, 3),
+        ("BENCH_DP_LOGN", "18", 480, 4),
+        ("BENCH_SNARK_LOGN", "16", 540, 5),
+        ("BENCH_DP_LOGN", "20", 540, 6),
+        ("BENCH_NIZK_LOGN", "20", 600, 8),
+        # scaling runs on the virtual 8-device CPU mesh (the only place
+        # with >1 device here) at a CPU-feasible size
+        ("BENCH_SCALING", "1", 420, 0,
+         {"BENCH_FORCE_CPU": "1", "BENCH_SCALING_LOGN": "16"}),
+        ("BENCH_FINDMIN", "1", 600, 7),
+    ]
+    collected: list = []  # (rank, metric_line)
+    for var, val, cap, rank, *extra in rungs:
+        remaining = total - (time.perf_counter() - t_start)
+        if remaining < 90:
+            print(json.dumps({"aux": "bench_budget_exhausted",
+                              "skipped_from": var}), file=sys.stderr)
+            break
+        env = dict(os.environ)
+        env[var] = val
+        if extra:
+            env.update(extra[0])
+        out = ""
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=min(cap * budget_scale, remaining),
+                capture_output=True, text=True)
+            out = r.stdout or ""
+            sys.stderr.write(r.stderr or "")
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"")
+            out = out.decode() if isinstance(out, bytes) else out
+            err = (e.stderr or b"")
+            sys.stderr.write(err.decode() if isinstance(err, bytes) else err)
+            print(json.dumps({"aux": "bench_section_timeout",
+                              "section": f"{var}={val}", "cap_s": cap}),
+                  file=sys.stderr)
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        for line in out.splitlines():
             try:
-                subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=budget * budget_scale)
-            except subprocess.TimeoutExpired:
-                print(json.dumps({"aux": "bench_section_timeout",
-                                  "section": var, "budget_s": budget}),
-                      file=sys.stderr)
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and "metric" in rec:
+                collected.append((rank, line))
+    # Final summary: all landed metrics, least headline-worthy first.
+    for _, line in sorted(collected, key=lambda t: t[0]):
+        print(line)
+    if not collected:
+        print(json.dumps({"metric": "no_metric_landed", "value": 0,
+                          "unit": "none", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":
