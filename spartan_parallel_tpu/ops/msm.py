@@ -53,43 +53,124 @@ def digits_from_limbs(limbs):
     return jnp.stack([lo, hi], axis=-1).reshape(limbs.shape[:-1] + (32,))
 
 
+# Fixed intra-chunk width for the two-level prefix scan. The compiled
+# graph contains 2*log2(_CHUNK) point-add instantiations for the chunk
+# scans plus O(1) for everything else — INDEPENDENT of N. (The previous
+# flat associative_scan instantiated 2*log2(B*N) point-adds: ~150k HLO
+# ops at 2^20, which took the 1-core XLA:CPU optimizer 10+ minutes at
+# 2^8 already and OOM-killed the remote TPU compile helper at 2^20.)
+_CHUNK = 256
+
+
+def _hs_scan(x, reverse: bool = False):
+    """Inclusive Hillis-Steele prefix point-sum along axis 0 as a
+    fori_loop: ONE point_add in the graph, log2(m) iterations sweeping
+    the full width (work m*log m — used only where m is small)."""
+    m = x.shape[0]
+    steps = max(0, (m - 1).bit_length())
+    # prefix: x[j] += x[j-d] (roll +d); suffix: x[j] += x[j+d] (roll -d)
+    sign = -1 if reverse else 1
+
+    def body(i, x):
+        d = (jnp.uint32(1) << i).astype(jnp.int32)
+        shifted = jnp.roll(x, sign * d, axis=0)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (m,), 0)
+        mask = (idx < m - d.astype(jnp.uint32)) if reverse else \
+            (idx >= d.astype(jnp.uint32))
+        mask = mask.reshape((m,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, curve.point_add(x, shifted), x)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
+def _fold_sum(x, axis: int):
+    """Point sum along `axis` (power-of-2 length) by halving inside a
+    fori_loop — ONE point_add instantiation (cf. curve.tree_reduce's
+    log2(n) unrolled adds)."""
+    x = jnp.moveaxis(x, axis, 0)
+    m = x.shape[0]
+    steps = (m - 1).bit_length()
+
+    def body(i, x):
+        half = (jnp.uint32(m) >> (i + jnp.uint32(1))).astype(jnp.int32)
+        hi = jnp.roll(x, -half, axis=0)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, (m,), 0)
+        mask = (idx < half.astype(jnp.uint32)).reshape(
+            (m,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, curve.point_add(x, hi), x)
+
+    return jax.lax.fori_loop(0, steps, body, x)[0]
+
+
 def _window_sum_flat(points, digits):
     """One window, B MSM rows sharing the generator set.
 
     digits (B, N); points (N, 4, 16) -> (B, 4, 16).
 
     All rows sort TOGETHER under the composite key (row << 8 | digit):
-    one argsort + one associative point scan over the flat B*N axis, so
-    the batched Hyrax polycommit (dense_mlpoly.rs:183-197's rayon site)
-    costs the same as a single flat MSM of B*N points — the previous
-    vmap-of-per-row-pipelines form spent ~400x longer on the same work
-    (per-row tile-padded gathers and 256-bucket tails at N ~ 1k).
-    Bucket (b, v) is then a difference of two gathered prefix sums, and
-    the weighted bucket sum runs as a reversed scan along the v axis.
+    one argsort + one two-level prefix point-scan over the flat B*N axis,
+    so the batched Hyrax polycommit (dense_mlpoly.rs:183-197's rayon
+    site) costs the same as a single flat MSM of B*N points. Bucket
+    (b, v) is a difference of two prefix values gathered at the sorted
+    bucket boundaries, and the weighted bucket sum is a reversed
+    Hillis-Steele scan along the v axis followed by a halving fold.
+
+    The prefix is TWO-LEVEL to bound the compiled graph: work-efficient
+    associative_scan inside fixed _CHUNK-sized chunks (full M-width
+    parallel, ~2N adds) + a Hillis-Steele pass over the M chunk totals
+    (1 point_add in the graph, M*log2(M) adds — ~2% of the scan work at
+    _CHUNK=256). Prefix values are only materialized AT the <=2*B*256
+    bucket boundaries: value(idx) = intra[idx-1] + chunk_exclusive[
+    (idx-1)//_CHUNK].
     """
     b, n = digits.shape
-    row_key = (jnp.arange(b * n, dtype=jnp.uint32) //
+    total = b * n
+    row_key = (jnp.arange(total, dtype=jnp.uint32) //
                jnp.uint32(n)) << jnp.uint32(WINDOW_BITS)
     key = row_key | digits.reshape(-1)
     order = jnp.argsort(key)
     ks = key[order]
     ps = jnp.take(points, order % jnp.uint32(n), axis=0)
-    # inclusive prefix sums of sorted points: work-efficient, log depth
-    prefix = jax.lax.associative_scan(curve.point_add, ps, axis=0)
-    # bucket (b, v) = prefix[end - 1] - prefix[start - 1]; row groups are
+
+    ch = min(_CHUNK, total)
+    pad = (-total) % ch
+    if pad:
+        ps = jnp.concatenate(
+            [ps, jnp.asarray(curve.identity((pad,)))], axis=0)
+    m = (total + pad) // ch
+    intra = jax.lax.associative_scan(
+        curve.point_add, ps.reshape(m, ch, 4, 16), axis=1)
+    intra_flat = intra.reshape(m * ch, 4, 16)
+    incl = _hs_scan(intra[:, -1])  # (m, 4, 16) inclusive chunk prefixes
+    excl = jnp.concatenate(
+        [jnp.asarray(curve.identity((1,))), incl[:-1]], axis=0)
+
+    def prefix_at(idx):
+        """Inclusive prefix sum of the first `idx` sorted points."""
+        q = jnp.maximum(idx, 1) - 1
+        v = curve.point_add(jnp.take(intra_flat, q, axis=0),
+                            jnp.take(excl, q // ch, axis=0))
+        ident = jnp.asarray(curve.identity((1,)))
+        return curve.point_select(idx > 0, v, ident)
+
+    # bucket (b, v) = prefix(end) - prefix(start); row groups are
     # contiguous under the composite key so differences never span rows.
-    prefix_ext = jnp.concatenate(
-        [jnp.asarray(curve.identity((1,))), prefix], axis=0)
     starts = jnp.searchsorted(
         ks, jnp.arange(b * NUM_BUCKETS, dtype=ks.dtype), side="left")
-    ends = jnp.concatenate([starts[1:], jnp.full((1,), b * n, starts.dtype)])
-    hi = jnp.take(prefix_ext, ends, axis=0)  # (B*256, 4, 16)
-    lo = jnp.take(prefix_ext, starts, axis=0)
-    buckets = curve.point_add(hi, curve.point_neg(lo))
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), total,
+                                                 starts.dtype)])
+    buckets = curve.point_add(prefix_at(ends),
+                              curve.point_neg(prefix_at(starts)))
     buckets = buckets.reshape(b, NUM_BUCKETS, 4, 16)[:, 1:]  # v = 1..255
-    suffix = jax.lax.associative_scan(
-        curve.point_add, buckets, axis=1, reverse=True)
-    return curve.tree_reduce(suffix, axis=1)  # (B, 4, 16)
+    # weighted sum: reversed inclusive scan gives suffix sums S_v, and
+    # sum_{v=1}^{255} S_v = sum_v v*bucket_v; pad the 255 sums with one
+    # identity so the halving fold sees a power-of-2 axis
+    suffix = jnp.moveaxis(
+        _hs_scan(jnp.moveaxis(buckets, 1, 0), reverse=True), 0, 1)
+    suffix = jnp.concatenate(
+        [suffix, jnp.broadcast_to(jnp.asarray(curve.identity((1,))),
+                                  (b, 1, 4, 16))], axis=1)
+    return _fold_sum(suffix, axis=1)  # (B, 4, 16)
 
 
 @cached_kernel()
@@ -105,11 +186,11 @@ def _msm_sorted(points, limbs):
     _, wins = jax.lax.scan(win_body, None,
                            jnp.arange(NUM_WINDOWS, dtype=jnp.uint32))
 
-    # Horner combine from the top window: acc = 256*acc + win[w], as a
-    # scan (one traced body) rather than 248 unrolled point ops.
+    # Horner combine from the top window: acc = 256*acc + win[w]; the 8
+    # doublings run in a fori_loop (one point_double instantiation).
     def comb_body(acc, win):
-        for _ in range(WINDOW_BITS):
-            acc = curve.point_double(acc)
+        acc = jax.lax.fori_loop(0, WINDOW_BITS,
+                                lambda _, a: curve.point_double(a), acc)
         return curve.point_add(acc, win), None
 
     acc, _ = jax.lax.scan(comb_body, wins[NUM_WINDOWS - 1],
