@@ -23,10 +23,35 @@ from ..ops import curve, fq, limbs as lb, msm
 
 import os
 
-# Below this point count the native host Straus MSM beats a device launch
-# (and avoids per-shape jit compiles); the device Pippenger engine takes
-# over for bulk commitments. Tunable for benchmarks via env.
-_HOST_MSM_MAX = int(os.environ.get("SPARTAN_HOST_MSM_MAX", "8192"))
+_HOST_MSM_CACHE: dict = {}
+
+
+def _host_msm_max() -> int:
+    """Total-work threshold below which the native host Straus MSM beats
+    a device launch (and avoids per-shape jit compiles). Backend-aware:
+    on XLA:CPU there is no accelerator to win back the compile cost, so
+    the C host path takes everything but the explicitly-device tests
+    (2^22 covers every suite/dryrun shape); on TPU the device engine
+    takes over at 8192. An ACTIVE prover mesh overrides this entirely —
+    see commit_rows/_bulk_msm. Tunable via SPARTAN_HOST_MSM_MAX."""
+    v = _HOST_MSM_CACHE.get("max")
+    if v is None:
+        env = os.environ.get("SPARTAN_HOST_MSM_MAX")
+        if env is not None:
+            v = int(env)
+        else:
+            import jax
+
+            v = (1 << 22) if jax.default_backend() == "cpu" else 8192
+        _HOST_MSM_CACHE["max"] = v
+    return v
+
+
+def _mesh_active() -> bool:
+    from ..parallel.context import current_mesh
+
+    mesh = current_mesh()
+    return mesh is not None and mesh.devices.size > 1
 
 
 class MultiCommitGens:
@@ -114,8 +139,10 @@ def commit_rows(rows: np.ndarray, blinds, gens: MultiCommitGens):
     scal[:, :n] = rows
     scal[:, n] = [int(x) for x in blinds]
     # Dispatch on TOTAL work (the device kernel batches all rows in one
-    # launch — the Hyrax shape), not per-row size.
-    if b * (n + 1) <= _HOST_MSM_MAX:
+    # launch — the Hyrax shape), not per-row size. An active prover mesh
+    # pins the threshold low so bulk commits exercise the collective MSM
+    # even at dryrun shapes (tiny sigma commits stay host either way).
+    if b * (n + 1) <= (8192 if _mesh_active() else _host_msm_max()):
         pts = gens.G[:n] + [gens.h]
         return [multiscalar_mul(list(r), pts) for r in scal]
     limbs_arr = lb.ints_to_limbs(list(scal.reshape(-1))).reshape(b, n + 1, 16)
@@ -128,7 +155,7 @@ def commit_rows_device(rows_mont, blinds, gens: MultiCommitGens):
     """Batched commit of device-resident Montgomery rows (B, n, 16)."""
     b, n, _ = rows_mont.shape
     assert gens.n >= n
-    if b * (n + 1) <= _HOST_MSM_MAX:
+    if b * (n + 1) <= (8192 if _mesh_active() else _host_msm_max()):
         import jax
 
         # fq.decode expects Montgomery limbs and applies R^-1 itself

@@ -335,7 +335,9 @@ class BulletReductionProof:
         u_sq, u_inv_sq, s = self.verification_scalars(n, transcript)
         Ls = [RistrettoPoint.decompress(p) for p in self.L_vec]
         Rs = [RistrettoPoint.decompress(p) for p in self.R_vec]
-        if n > 32:
+        from .commitments import _host_msm_max
+
+        if n > max(32, _host_msm_max()):
             G_dev = jnp.asarray(curve.encode_points(list(G_list)))
             sl = lb.ints_to_limbs([int(x) for x in s])
             G_hat = msm.msm_single(G_dev, sl)
