@@ -69,14 +69,24 @@ class ProverWitnessSecInfo:
 
     @staticmethod
     def from_scalars(num_inputs, w_mat_host):
-        """w_mat_host: nested [p][q][i] ints/Scalars."""
+        """w_mat_host: nested [p][q][i] ints/Scalars. Rows shorter than
+        the section's declared width num_inputs[p] are zero-padded to it:
+        the committed polynomial's row stride IS the declared width (the
+        verifier reconstructs Z assuming it), so committing raw short
+        rows would silently misalign every opening (found by the
+        find_min-shaped fixture, whose app witness rows are narrower than
+        the block's num_vars)."""
         from .dense_mlpoly import scalars_to_mont as s2m
 
         mats, polys = [], []
         for p in range(len(w_mat_host)):
-            flat = [int(v) for q in w_mat_host[p] for v in q]
-            dev = s2m(flat).reshape(
-                len(w_mat_host[p]), len(w_mat_host[p][0]), 16)
+            ni = num_inputs[p]
+            rows = w_mat_host[p]
+            assert all(len(q) <= ni for q in rows), \
+                f"witness row wider than section width {ni}"
+            flat = [int(v) for q in rows
+                    for v in (list(q) + [0] * (ni - len(q)))]
+            dev = s2m(flat).reshape(len(rows), ni, 16)
             mats.append(dev)
             polys.append(DensePolynomial(dev.reshape(-1, 16)))
         return ProverWitnessSecInfo(num_inputs, mats, polys)
@@ -568,6 +578,11 @@ class R1CSProof:
                 rq_short = rq[len(rq) - ceil_log2(n_pf):] if \
                     ceil_log2(n_pf) else []
                 r_pt = rq_short + ry_short
+                assert len(r_pt) == w.poly_w[p].num_vars, (
+                    f"witness sec {i} inst {p}: committed poly has "
+                    f"{w.poly_w[p].num_vars} vars but n_pf={n_pf}, "
+                    f"num_inputs={w.num_inputs[p]} imply {len(r_pt)} "
+                    f"(declared width != committed row stride?)")
                 ev = w.poly_w[p].evaluate(r_pt)
                 Zr_list.append(ev)
                 if w.num_inputs[p] >= max_num_inputs:

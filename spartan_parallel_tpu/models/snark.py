@@ -259,10 +259,15 @@ class ShiftProofs:
 # --------------------------------------------------------------------------
 # helpers
 # --------------------------------------------------------------------------
-def _flat_poly_commit(rows, vars_gens, transcript):
+def _flat_poly_commit(rows, vars_gens, transcript, width=None):
     """rows: list of lists of ints -> (DensePolynomial, PolyCommitment);
     commits with zero blinds and appends to transcript (the lib.rs witness
-    commit idiom)."""
+    commit idiom). `width` zero-pads every row to the section width — the
+    committed poly's row stride must equal the width the verifier assumes
+    (frontend assignments arrive full-width; hand-built traces may not)."""
+    if width is not None:
+        assert all(len(r) <= width for r in rows)
+        rows = [list(r) + [0] * (width - len(r)) for r in rows]
     flat = [int(v) for row in rows for v in row]
     poly = DensePolynomial.from_scalars(flat)
     comm, _ = poly.commit(vars_gens.gens_pc, None)
@@ -808,7 +813,8 @@ class SNARK:
         block_poly_vars_list, block_comm_vars_list = [], []
         for p in range(block_num_instances):
             poly, comm = _flat_poly_commit(block_vars_mat[p], vars_gens,
-                                           transcript)
+                                           transcript,
+                                           width=block_num_vars[p])
             block_poly_vars_list.append(poly)
             block_comm_vars_list.append(comm)
         exec_poly_inputs, exec_comm_inputs = _flat_poly_commit(
