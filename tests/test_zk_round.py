@@ -193,3 +193,47 @@ def test_r1csproof_classed_device_rounds_bit_exact(monkeypatch):
     assert dev[1] == host[1], "evaluation points differ"
     assert dev[2] == host[2], "transcript states differ"
     assert dev[0] == host[0], "proof bytes differ"
+
+
+def test_r1csproof_classed_q_scan_bit_exact(monkeypatch):
+    """Qmax = 32 gives 5 q rounds (>= _MIN_SCAN_ROUNDS), so the classed
+    prover's device q-segment (ops/zk_round.pqc_zk_scan) engages: two
+    sub-segments ([0,3) all-active-ish, [3,5) with the small classes
+    inactive) must reproduce the host loop byte-for-byte.
+
+    Same CPU gating rationale as the classed x-scan test above."""
+    import os
+
+    import jax
+
+    if jax.default_backend() == "cpu" and not os.environ.get(
+            "SPARTAN_SLOW_TESTS"):
+        pytest.skip("KS-carry compile too slow on XLA:CPU (1-core host); "
+                    "run with SPARTAN_SLOW_TESTS=1 or on the TPU backend")
+    from spartan_parallel_tpu import serialization as ser
+
+    num_proofs = [32, 8, 1]
+    n = 32
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        3, num_proofs, n, n, 4, seed=29)
+    nv = inst.get_num_vars() // 2
+    gens = R1CSGens(b"test_zkr_q", n, 32 * nv)
+    vars_sec, io_sec = _vars_io_secs(inst, vars_mat, inputs_mat, num_proofs)
+
+    def run():
+        tape = RandomTape(b"proof", seed=b"\x0e" * 32)
+        tp = Transcript(b"zkr_q_test")
+        proof, r = R1CSProof.prove(
+            3, 32, num_proofs, nv, [nv] * 3, [vars_sec, io_sec], inst,
+            gens, tp, tape)
+        return ser.serialize(proof, "R1CSProof"), r, \
+            tp.challenge_scalar(b"probe")
+
+    monkeypatch.setenv("SPARTAN_CARRY_IMPL", "ks")
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "1")
+    dev = run()
+    monkeypatch.setenv("SPARTAN_DEVICE_ROUNDS", "0")
+    host = run()
+    assert dev[1] == host[1], "evaluation points differ"
+    assert dev[2] == host[2], "transcript states differ"
+    assert dev[0] == host[0], "proof bytes differ"
