@@ -250,16 +250,14 @@ class RunTimeKnowledge:
 TOTAL_NUM_VARS_BOUND = 10_000_000
 
 
-def run(ctk: CompileTimeKnowledge, rtk: RunTimeKnowledge,
-        vars_bound: int | None = None) -> None:
-    """interface.rs main() :458-691."""
+def _setup(ctk: CompileTimeKnowledge, rtk: RunTimeKnowledge,
+           vars_bound: int | None = None) -> dict:
+    """Instances + gens + circuit commitments (interface.rs:458-576)."""
     num_vars = ctk.num_vars
     niu = ctk.num_inputs_unpadded
     num_ios = 1 << (2 * niu - 1).bit_length()
     mem_addr_ts_bits_size = 1 << max(0, (2 + ctk.max_ts_width - 1)
                                      .bit_length())
-    max_bpo = max(ctk.block_num_phy_ops)
-    max_bvo = max(ctk.block_num_vir_ops)
     assert ctk.output_block_num >= ctk.block_num_instances
 
     (block_num_vars_total, block_num_cons, block_nnz,
@@ -283,42 +281,92 @@ def run(ctk: CompileTimeKnowledge, rtk: RunTimeKnowledge,
                                                   pairwise_gens)
     perm_root_comm, perm_root_decomm = SNARK.encode(perm_root_inst,
                                                     perm_root_gens)
+    return dict(
+        num_vars=num_vars, niu=niu, num_ios=num_ios,
+        mem_addr_ts_bits_size=mem_addr_ts_bits_size,
+        max_bpo=max(ctk.block_num_phy_ops),
+        max_bvo=max(ctk.block_num_vir_ops),
+        block_num_cons=block_num_cons, block_inst=block_inst,
+        pw_cons=pw_cons, pairwise_inst=pairwise_inst,
+        pr_cons=pr_cons, perm_root_inst=perm_root_inst,
+        block_gens=block_gens, pairwise_gens=pairwise_gens,
+        perm_root_gens=perm_root_gens, vars_gens=vars_gens,
+        block_comm_map=block_comm_map, block_comm_list=block_comm_list,
+        block_decomm_list=block_decomm_list, pairwise_comm=pairwise_comm,
+        pairwise_decomm=pairwise_decomm, perm_root_comm=perm_root_comm,
+        perm_root_decomm=perm_root_decomm,
+    )
 
+
+def run_prove_only(ctk: CompileTimeKnowledge, rtk: RunTimeKnowledge,
+                   vars_bound: int | None = None):
+    """Prove and return the SNARK object (for serialization/interchange —
+    the golden-kit test hands its bytes to the reference verifier)."""
+    s = _setup(ctk, rtk, vars_bound)
+    tp = Transcript(b"snark_example")
+    return SNARK.prove(
+        ctk.input_block_num, ctk.output_block_num, ctk.input_liveness,
+        ctk.func_input_width, ctk.input_offset, ctk.output_offset,
+        rtk.input, rtk.output, rtk.output_exec_num,
+        s["num_vars"], s["num_ios"], s["max_bpo"], ctk.block_num_phy_ops,
+        s["max_bvo"], ctk.block_num_vir_ops, s["mem_addr_ts_bits_size"],
+        s["niu"], ctk.num_vars_per_block, ctk.block_num_instances,
+        rtk.block_max_num_proofs, rtk.block_num_proofs, s["block_inst"],
+        s["block_comm_map"], s["block_comm_list"], s["block_decomm_list"],
+        s["block_gens"], rtk.consis_num_proofs,
+        rtk.total_num_init_phy_mem_accesses,
+        rtk.total_num_init_vir_mem_accesses,
+        rtk.total_num_phy_mem_accesses, rtk.total_num_vir_mem_accesses,
+        s["pairwise_inst"], s["pairwise_comm"], s["pairwise_decomm"],
+        s["pairwise_gens"], rtk.block_vars_matrix, rtk.exec_inputs,
+        rtk.init_phy_mems_list, rtk.init_vir_mems_list,
+        rtk.addr_phy_mems_list, rtk.addr_vir_mems_list,
+        rtk.addr_ts_bits_list, s["perm_root_inst"], s["perm_root_comm"],
+        s["perm_root_decomm"], s["perm_root_gens"], s["vars_gens"], tp)
+
+
+def run(ctk: CompileTimeKnowledge, rtk: RunTimeKnowledge,
+        vars_bound: int | None = None) -> None:
+    """interface.rs main() :458-691."""
+    s = _setup(ctk, rtk, vars_bound)
     tp = Transcript(b"snark_example")
     proof = SNARK.prove(
         ctk.input_block_num, ctk.output_block_num, ctk.input_liveness,
         ctk.func_input_width, ctk.input_offset, ctk.output_offset,
         rtk.input, rtk.output, rtk.output_exec_num,
-        num_vars, num_ios, max_bpo, ctk.block_num_phy_ops, max_bvo,
-        ctk.block_num_vir_ops, mem_addr_ts_bits_size, niu,
-        ctk.num_vars_per_block, ctk.block_num_instances,
-        rtk.block_max_num_proofs, rtk.block_num_proofs, block_inst,
-        block_comm_map, block_comm_list, block_decomm_list, block_gens,
-        rtk.consis_num_proofs, rtk.total_num_init_phy_mem_accesses,
+        s["num_vars"], s["num_ios"], s["max_bpo"], ctk.block_num_phy_ops,
+        s["max_bvo"], ctk.block_num_vir_ops, s["mem_addr_ts_bits_size"],
+        s["niu"], ctk.num_vars_per_block, ctk.block_num_instances,
+        rtk.block_max_num_proofs, rtk.block_num_proofs, s["block_inst"],
+        s["block_comm_map"], s["block_comm_list"], s["block_decomm_list"],
+        s["block_gens"], rtk.consis_num_proofs,
+        rtk.total_num_init_phy_mem_accesses,
         rtk.total_num_init_vir_mem_accesses,
         rtk.total_num_phy_mem_accesses, rtk.total_num_vir_mem_accesses,
-        pairwise_inst, pairwise_comm, pairwise_decomm, pairwise_gens,
-        rtk.block_vars_matrix, rtk.exec_inputs, rtk.init_phy_mems_list,
-        rtk.init_vir_mems_list, rtk.addr_phy_mems_list,
-        rtk.addr_vir_mems_list, rtk.addr_ts_bits_list, perm_root_inst,
-        perm_root_comm, perm_root_decomm, perm_root_gens, vars_gens, tp)
+        s["pairwise_inst"], s["pairwise_comm"], s["pairwise_decomm"],
+        s["pairwise_gens"], rtk.block_vars_matrix, rtk.exec_inputs,
+        rtk.init_phy_mems_list, rtk.init_vir_mems_list,
+        rtk.addr_phy_mems_list, rtk.addr_vir_mems_list,
+        rtk.addr_ts_bits_list, s["perm_root_inst"], s["perm_root_comm"],
+        s["perm_root_decomm"], s["perm_root_gens"], s["vars_gens"], tp)
 
     tv = Transcript(b"snark_example")
     proof.verify(
         ctk.input_block_num, ctk.output_block_num, ctk.input_liveness,
         ctk.func_input_width, ctk.input_offset, ctk.output_offset,
         rtk.input, rtk.input_stack, rtk.input_mem, rtk.output,
-        rtk.output_exec_num, num_vars, num_ios, max_bpo,
-        ctk.block_num_phy_ops, max_bvo, ctk.block_num_vir_ops,
-        mem_addr_ts_bits_size, niu, ctk.num_vars_per_block,
+        rtk.output_exec_num, s["num_vars"], s["num_ios"], s["max_bpo"],
+        ctk.block_num_phy_ops, s["max_bvo"], ctk.block_num_vir_ops,
+        s["mem_addr_ts_bits_size"], s["niu"], ctk.num_vars_per_block,
         ctk.block_num_instances, rtk.block_max_num_proofs,
-        rtk.block_num_proofs, block_num_cons, block_comm_map,
-        block_comm_list, block_gens, rtk.consis_num_proofs,
+        rtk.block_num_proofs, s["block_num_cons"], s["block_comm_map"],
+        s["block_comm_list"], s["block_gens"], rtk.consis_num_proofs,
         rtk.total_num_init_phy_mem_accesses,
         rtk.total_num_init_vir_mem_accesses,
         rtk.total_num_phy_mem_accesses, rtk.total_num_vir_mem_accesses,
-        pw_cons, pairwise_comm, pairwise_gens, pr_cons, perm_root_comm,
-        perm_root_gens, vars_gens, tv)
+        s["pw_cons"], s["pairwise_comm"], s["pairwise_gens"],
+        s["pr_cons"], s["perm_root_comm"], s["perm_root_gens"],
+        s["vars_gens"], tv)
     print("proof verification successful!")
 
 
