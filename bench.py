@@ -623,19 +623,31 @@ def main() -> None:
     dp_logn = os.environ.get("BENCH_DP_LOGN")
     msm_logn = os.environ.get("BENCH_MSM_LOGN")
     if os.environ.get("BENCH_SCALING"):
-        bench_scaling(int(os.environ.get("BENCH_SCALING_LOGN", "20")))
+        section = lambda: bench_scaling(  # noqa: E731
+            int(os.environ.get("BENCH_SCALING_LOGN", "20")))
     elif os.environ.get("BENCH_FINDMIN"):
-        bench_findmin()
+        section = bench_findmin
     elif nizk_logn:
-        bench_nizk(int(nizk_logn))
+        section = lambda: bench_nizk(int(nizk_logn))  # noqa: E731
     elif snark_logn:
-        bench_snark(int(snark_logn))
+        section = lambda: bench_snark(int(snark_logn))  # noqa: E731
     elif dp_logn:
-        bench_dp(int(dp_logn))
+        section = lambda: bench_dp(int(dp_logn))  # noqa: E731
     elif msm_logn:
-        bench_msm(int(msm_logn))
+        section = lambda: bench_msm(int(msm_logn))  # noqa: E731
     else:
         _ladder()
+        return
+    trace_dir = os.environ.get("SPARTAN_TRACE")
+    if trace_dir:
+        # capture an XLA profiler trace of the whole section (view with
+        # tensorboard/xprof — the SURVEY §5 tracing facility)
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            section()
+    else:
+        section()
 
 
 def _ladder() -> None:
@@ -668,7 +680,10 @@ def _ladder() -> None:
         ("BENCH_DP_LOGN", "18", 480, 4),
         ("BENCH_SNARK_LOGN", "16", 540, 5),
         ("BENCH_DP_LOGN", "20", 540, 6),
-        ("BENCH_NIZK_LOGN", "20", 600, 8),
+        # chunk step 2 halves the x/y-segment compile count (4 scans per
+        # segment instead of 7) for ~33% more sweep work — the right
+        # trade for a 600 s cold-compile window at 2^20
+        ("BENCH_NIZK_LOGN", "20", 600, 8, {"SPARTAN_CHUNK_STEP": "2"}),
         # scaling runs on the virtual 8-device CPU mesh (the only place
         # with >1 device here) at a CPU-feasible size
         ("BENCH_SCALING", "1", 420, 0,
