@@ -134,6 +134,14 @@ def bench_msm(logn: int) -> None:
 
     pts_per_s = n / dt
     baseline = (1 << 20) / 2.718  # reference polycommit rate (README.md:134)
+    # metric FIRST: the roofline aux below compiles the peak-measure
+    # chain, which on a cold remote compiler can outlive the rung budget
+    print(json.dumps({
+        "metric": f"msm_points_per_s_2^{logn}",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / baseline, 3),
+    }), flush=True)
     # roofline: ~2N adds/window scan + 512 bucket/suffix adds, 32 windows,
     # 9 field muls per add, ~700 int32 ops per field mul
     adds = 32 * (2 * n + 512)
@@ -147,12 +155,6 @@ def bench_msm(logn: int) -> None:
         "int32_ops_per_s_est": round(fmuls * 700 / dt / 1e12, 3),
         "unit2": "Tops/s",
     }), file=sys.stderr)
-    print(json.dumps({
-        "metric": f"msm_points_per_s_2^{logn}",
-        "value": round(pts_per_s, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pts_per_s / baseline, 3),
-    }))
 
 
 def bench_nizk(logn: int) -> None:
@@ -188,6 +190,13 @@ def bench_nizk(logn: int) -> None:
                               round(time.perf_counter() - t0, 3)}),
               file=sys.stderr)
     proof, prove_s = prove_once()
+    baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
+    print(json.dumps({
+        "metric": f"nizk_prove_2^{logn}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+    }), flush=True)
 
     t0 = time.perf_counter()
     tv = Transcript(b"nizk_bench")
@@ -219,14 +228,6 @@ def bench_nizk(logn: int) -> None:
             "int32_ops_per_s_est": round(fmuls * 700 / sc1 / 1e12, 3),
             "unit2": "Tops/s",
         }), file=sys.stderr)
-
-    baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
-    print(json.dumps({
-        "metric": f"nizk_prove_2^{logn}",
-        "value": round(prove_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / prove_s, 3),
-    }))
 
 
 def bench_snark(logn: int) -> None:
@@ -269,6 +270,13 @@ def bench_snark(logn: int) -> None:
         print(json.dumps({"aux": "snark_cold_prove_s",
                           "value": round(cold_s, 3)}), file=sys.stderr)
     proof, prove_s = prove_once()
+    baseline_s = 39.130 * n / (1 << 20)  # README.md:155, linear scaling
+    print(json.dumps({
+        "metric": f"snark_prove_2^{logn}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+    }), flush=True)
 
     t0 = time.perf_counter()
     tv = Transcript(b"snark_bench")
@@ -280,14 +288,6 @@ def bench_snark(logn: int) -> None:
         "proof_compressed_bytes": ser.compressed_size(proof),
         "reference_proof_bytes_2^20": 141768,
     }), file=sys.stderr)
-
-    baseline_s = 39.130 * n / (1 << 20)  # README.md:155, linear scaling
-    print(json.dumps({
-        "metric": f"snark_prove_2^{logn}",
-        "value": round(prove_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / prove_s, 3),
-    }))
 
 
 def bench_dp(log_sigma_q: int) -> None:
@@ -353,6 +353,14 @@ def bench_dp(log_sigma_q: int) -> None:
         print(json.dumps({"aux": "dp_cold_prove_s",
                           "value": round(cold_s, 3)}), file=sys.stderr)
     (dp_proof, _), prove_s = prove_once()
+    baseline_s = 4.442 * sigma_work / (1 << 20)
+    print(json.dumps({
+        "metric": f"dp_r1cs_prove_sigma_work_2^{log_sigma_q}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+        "n_devices": n_dev,
+    }), flush=True)
 
     from spartan_parallel_tpu import serialization as ser
     print(json.dumps({
@@ -361,15 +369,6 @@ def bench_dp(log_sigma_q: int) -> None:
                                                       "R1CSProof"),
         "num_proofs": num_proofs, "ncons": ncons,
     }), file=sys.stderr)
-
-    baseline_s = 4.442 * sigma_work / (1 << 20)
-    print(json.dumps({
-        "metric": f"dp_r1cs_prove_sigma_work_2^{log_sigma_q}",
-        "value": round(prove_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / prove_s, 3),
-        "n_devices": n_dev,
-    }))
 
 
 def bench_scaling(logn: int = 20) -> None:
@@ -555,11 +554,6 @@ def bench_findmin() -> None:
         print(json.dumps({"aux": "findmin_cold_prove_s",
                           "value": round(cold_s, 3)}), file=sys.stderr)
     proof, prove_s = prove_once()
-
-    t0 = time.perf_counter()
-    ex.verify_program(proof, pa, ctx, label=b"findmin_bench")
-    verify_s = time.perf_counter() - t0
-
     # reference prove covers sigma_work = SUM_q ncons over the find_min
     # trace (9 blocks x 8192 cons, ~124 execs); scale linearly for
     # reduced shapes.
@@ -567,18 +561,22 @@ def bench_findmin() -> None:
     ref_work = sum((64, 16, 16, 16, 4, 4, 4, 2, 2)) * 8192
     baseline_s = 67.508 * work / ref_work
     print(json.dumps({
+        "metric": f"findmin_shaped_snark_prove_work_{work}",
+        "value": round(prove_s, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / prove_s, 3),
+    }), flush=True)
+
+    t0 = time.perf_counter()
+    ex.verify_program(proof, pa, ctx, label=b"findmin_bench")
+    verify_s = time.perf_counter() - t0
+    print(json.dumps({
         "aux": "findmin_detail", "encode_s": round(encode_s, 3),
         "verify_s": round(verify_s, 3),
         "reference_verify_s": 0.318,
         "proof_compressed_bytes": ser.compressed_size(proof, "SNARK"),
         "ncons": ncons, "num_execs": execs,
     }), file=sys.stderr)
-    print(json.dumps({
-        "metric": f"findmin_shaped_snark_prove_work_{work}",
-        "value": round(prove_s, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / prove_s, 3),
-    }))
 
 
 def _tpu_relay_alive() -> bool:
