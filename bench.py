@@ -59,10 +59,10 @@ def measured_field_mul_peak() -> float:
 
     @jax.jit
     def chain(x):
-        y = x
-        for _ in range(reps_inner):
-            y = fq.mul(y, x)
-        return y
+        # fori_loop: ONE fq.mul instantiation in the graph (the unrolled
+        # 96-mul chain cost minutes of compile on a cold machine)
+        return jax.lax.fori_loop(
+            0, reps_inner, lambda i, y: fq.mul(y, x), x)
 
     jax.block_until_ready(chain(a))
     t0 = time.perf_counter()
