@@ -371,6 +371,59 @@ def bench_dp(log_sigma_q: int) -> None:
     }), file=sys.stderr)
 
 
+def _scaling_mesh_overhead(logn: int) -> None:
+    """Time the sharded-MSM program on the local multi-device mesh vs the
+    single-device MSM at identical compute, and print the overhead aux
+    line. Requires jax.local_device_count() > 1 (the virtual 8-device CPU
+    mesh in CI / the BENCH_SCALING_MESH_ONLY subprocess)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spartan_parallel_tpu.core.consts import L
+    from spartan_parallel_tpu.core.edwards import RistrettoPoint
+    from spartan_parallel_tpu.ops import curve, limbs as lb, msm
+    from spartan_parallel_tpu.parallel.mesh import make_mesh
+    from spartan_parallel_tpu.parallel.msm_sharded import msm_sharded_dev
+
+    n_dev = jax.local_device_count()
+    if n_dev < 2:
+        print(json.dumps({"aux": "mesh_overhead_skipped",
+                          "n_devices": n_dev}), file=sys.stderr)
+        return
+    k = 1 << min(logn, 16)  # keep the CPU-backend run in seconds
+    rng = np.random.default_rng(5)
+    base = RistrettoPoint.basepoint()
+    pts = [base]
+    for _ in range(10):
+        pts.append(pts[-1].double())
+    pts_dev = curve.encode_points(pts)
+    idx = rng.integers(0, len(pts), k)
+    p_k = jnp.asarray(pts_dev[idx])
+    s_k = jnp.asarray(lb.ints_to_limbs(
+        [int.from_bytes(rng.bytes(40), "little") % L for _ in range(k)]))
+    mesh = make_mesh(n_dev)
+
+    def time_fn(f):
+        jax.block_until_ready(f())
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = f()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    t_single = time_fn(lambda: msm.msm_dev(p_k, s_k))
+    t_shard = time_fn(lambda: msm_sharded_dev(mesh, p_k, s_k))
+    print(json.dumps({
+        "aux": "msm_sharded_measured_virtual_mesh",
+        "n_devices": n_dev, "logn": int(np.log2(k)),
+        "t_single_dev_s": round(t_single, 4),
+        "t_sharded_s": round(t_shard, 4),
+        "sharding_overhead": round(t_shard / t_single, 3),
+    }), file=sys.stderr)
+
+
 def bench_scaling(logn: int = 20) -> None:
     """Measured scaling efficiency of the multi-chip decomposition
     (BASELINE config 5) on the available hardware.
@@ -394,6 +447,14 @@ def bench_scaling(logn: int = 20) -> None:
     from spartan_parallel_tpu.core.edwards import RistrettoPoint
     from spartan_parallel_tpu.ops import curve, fq, limbs as lb, msm
     from spartan_parallel_tpu.ops import sumcheck as sck
+
+    if os.environ.get("BENCH_SCALING_MESH_ONLY"):
+        # subprocess mode (spawned below when the main run is on a
+        # single-chip backend): time ONLY the sharded-vs-single MSM on
+        # the virtual 8-device CPU mesh and exit — no metric line, so
+        # the parent's chip-measured efficiency stays the headline.
+        _scaling_mesh_overhead(logn)
+        return
 
     n = 1 << logn
     rng = np.random.default_rng(5)
@@ -487,31 +548,28 @@ def bench_scaling(logn: int = 20) -> None:
 
     n_dev = _jax.local_device_count()
     if n_dev > 1:
-        from spartan_parallel_tpu.parallel.mesh import make_mesh
-        from spartan_parallel_tpu.parallel.msm_sharded import msm_sharded_dev
+        _scaling_mesh_overhead(min(logn, 16))
+    elif not os.environ.get("BENCH_SCALING_NO_SUB"):
+        # single-chip backend (the TPU): the mesh-overhead measure needs
+        # >1 device, so take it on the virtual 8-device CPU mesh in a
+        # subprocess (the projection above stays chip-measured — forcing
+        # the WHOLE section onto CPU made eff collapse under XLA:CPU's
+        # fixed per-dispatch overheads, not real scaling behavior).
+        import subprocess
 
-        mesh = make_mesh(n_dev)
-        k = min(n, 1 << 16)  # keep the CPU-backend run in seconds
-        p_k, s_k = points[:k], jnp.asarray(limbs[:k])
-
-        def time_fn(f):
-            jax.block_until_ready(f())
-            t0 = time.perf_counter()
-            reps = 3
-            for _ in range(reps):
-                out = f()
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / reps
-
-        t_single = time_fn(lambda: msm.msm_dev(p_k, s_k))
-        t_shard = time_fn(lambda: msm_sharded_dev(mesh, p_k, s_k))
-        print(json.dumps({
-            "aux": "msm_sharded_measured_virtual_mesh",
-            "n_devices": n_dev, "logn": int(np.log2(k)),
-            "t_single_dev_s": round(t_single, 4),
-            "t_sharded_s": round(t_shard, 4),
-            "sharding_overhead": round(t_shard / t_single, 3),
-        }), file=sys.stderr)
+        env = dict(os.environ)
+        env.update({"BENCH_FORCE_CPU": "1", "BENCH_SCALING": "1",
+                    "BENCH_SCALING_MESH_ONLY": "1",
+                    "BENCH_SCALING_LOGN": str(min(logn, 16))})
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=420, capture_output=True, text=True)
+            sys.stderr.write(r.stderr or "")
+            sys.stdout.write(r.stdout or "")
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"aux": "mesh_overhead_subprocess_timeout"}),
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": f"scaling_efficiency_8dev_2^{logn}",
@@ -682,10 +740,11 @@ def _ladder() -> None:
         # segment instead of 7) for ~33% more sweep work — the right
         # trade for a 600 s cold-compile window at 2^20
         ("BENCH_NIZK_LOGN", "20", 600, 8, {"SPARTAN_CHUNK_STEP": "2"}),
-        # scaling runs on the virtual 8-device CPU mesh (the only place
-        # with >1 device here) at a CPU-feasible size
-        ("BENCH_SCALING", "1", 420, 0,
-         {"BENCH_FORCE_CPU": "1", "BENCH_SCALING_LOGN": "16"}),
+        # scaling efficiency is PROJECTED from chip slice timings (run on
+        # the default backend: forcing it onto XLA:CPU collapsed eff
+        # under per-dispatch overheads); the virtual-8-device mesh
+        # overhead measure runs in a CPU subprocess inside the section
+        ("BENCH_SCALING", "1", 540, 0, {"BENCH_SCALING_LOGN": "16"}),
         ("BENCH_FINDMIN", "1", 600, 7),
     ]
     collected: list = []  # (rank, metric_line)

@@ -108,10 +108,17 @@ def test_r1csproof_chunked_device_rounds_bit_exact(monkeypatch):
     64-wide x/y segments to split into per-size chunks with physical
     halving between rounds.
 
-    Gated off plain-CPU runs: XLA:CPU SEGFAULTS compiling the
-    tiny-lane chunk scans (observed at tail=8 on this image) and takes
-    >1 h per compile at tail=16 on a 1-core host; the TPU backend
-    (SPARTAN_TEST_TPU=1) runs it natively."""
+    Gated off plain-CPU runs — every alternative was measured in round 4
+    on this image and none fits a CI budget:
+      * compiled XLA:CPU: hard SEGFAULT after ~2.5 h of compiles
+        (reproduced again this round, exit 139; also at
+        --xla_backend_optimization_level=0, which timed out at 45 min);
+      * eager (jax.disable_jit): ~30 s per comb_commit on this host even
+        with KS carries — a full prove is 20-30 min of per-op dispatch;
+      * TPU backend (SPARTAN_TEST_TPU=1): runs natively, but the first
+        compile of the tiny-chunk kernels exceeded 2 h through the
+        remote-compile relay; warm re-runs are fast, so this is the
+        supported opt-in path once a machine's cache is populated."""
     import os
 
     import jax
