@@ -50,112 +50,21 @@ _FILE_HASHES: dict = {}
 # host where re-tracing costs minutes (1-core machine).
 _CORE_DEPS = ("limbs.py", "fq.py", "fp.py", "curve.py")
 
-# XLA:CPU segfaults on (de)serializing some executables compiled from
-# the scatter-add SpMV family at tiny classed shapes (reproduced on this
-# image: crash in LoadedExecutable.serialize() inside compilation_cache.
-# put_executable_and_time during tests/test_driver.py's mem fixture, and
-# in backend.deserialize_executable() on the cache READ once an entry
-# exists). The executables RUN fine — only persisting them crashes — so
-# these kernels bypass the XLA persistent cache entirely (read AND
-# write; they pay one backend recompile per process, and their StableHLO
-# AOT artifacts still cache the tracing/lowering). Registry lives here,
-# outside the disk-key source hash, so changing it never invalidates
-# existing artifacts.
-_NO_PERSIST_KERNELS = frozenset(filter(None, os.environ.get(
-    "SPARTAN_NO_PERSIST_KERNELS",
-    "spmv_batched,eval_table,sparse_eval").split(",")))
-
-# Deeper XLA:CPU failure, same image: the backend COMPILER itself
-# segfaults (memory corruption — the crash surfaces variously in
-# backend_compile_and_load, executable.serialize(), and
-# deserialize_executable across runs) on some fully-degenerate tiny
-# shapes, e.g. the phase-2 p-round step at Z=(8,1,1,16) from the
-# counter_mem fixture (tests/test_snark_mem.py, tests/test_driver.py).
-# For the small stateless kernel families below — pure limb arithmetic,
-# no transcript/commitment work — eager execution at those sizes costs
-# well under a second, so on CPU any call whose largest array argument
-# is <= SPARTAN_CPU_EAGER_MAX_ELEMS elements runs EAGERLY (bit-identical
-# integer math) and never reaches the broken compile path. KS carries
-# are forced inside the context: the limb-axis lax.scan re-traces per
-# iteration under disable_jit (~1000x cost).
-_CPU_EAGER_TINY_KERNELS = frozenset(filter(None, os.environ.get(
-    "SPARTAN_CPU_EAGER_KERNELS",
-    "spmv_batched,eval_table,sparse_eval,"
-    "p1_evals,p1_bind,p1_step,p2_evals,p2_bind,p2_step,"
-    "pc_evals,pc_bind,pc_step,eq_fold").split(",")))
-# (fold_chain excluded: its fori_loop body calls i.astype, which only
-# exists on traced index values — it breaks under disable_jit, and it
-# was never implicated in the XLA:CPU crashes.)
-
-
-def _cpu_eager_max_elems() -> int:
-    return int(os.environ.get("SPARTAN_CPU_EAGER_MAX_ELEMS", "8192"))
-
-
-def _tiny_args(args) -> bool:
-    m = 0
-    for a in args:
-        if hasattr(a, "shape"):
-            n = 1
-            for d in a.shape:
-                n *= int(d)
-            m = max(m, n)
-    return m <= _cpu_eager_max_elems()
-
-
-def _mesh_active() -> bool:
-    """True when a prover_mesh is active: sharded arrays + disable_jit
-    is an untested combination, and the multi-chip dryrun must stay on
-    the compiled path (its shapes compile fine — the crash class above
-    has only been seen on unsharded single-host programs)."""
-    try:
-        from ..parallel.context import current_mesh
-
-        return current_mesh() is not None
-    except Exception:
-        return False
-
-
-def _run_eager_ks(fn, args, statics):
-    saved = os.environ.get("SPARTAN_CARRY_IMPL")
-    os.environ["SPARTAN_CARRY_IMPL"] = "ks"
-    try:
-        with jax.disable_jit():
-            return fn(*args, **statics)
-    finally:
-        if saved is None:
-            os.environ.pop("SPARTAN_CARRY_IMPL", None)
-        else:
-            os.environ["SPARTAN_CARRY_IMPL"] = saved
-
-
-class _no_persist_writes:
-    """Scoped: disable the XLA persistent compilation cache (read+write)
-    for compiles triggered inside the context.
-
-    Two subtleties: the config State alone is NOT enough — jax caches
-    the is_cache_used decision once per process, so the flag must be
-    flipped together with compilation_cache.reset_cache() on both enter
-    and exit (disk entries are untouched; the next compile outside the
-    context re-initializes the cache from the same dir). Uses
-    config.update rather than the State context manager because
-    reset_cache() must bracket the flag flips."""
-
-    def __enter__(self):
-        from jax._src import compilation_cache as _cc
-        from jax._src import config as _jc
-
-        self._saved = _jc.enable_compilation_cache.value
-        jax.config.update("jax_enable_compilation_cache", False)
-        _cc.reset_cache()
-        return self
-
-    def __exit__(self, *exc):
-        from jax._src import compilation_cache as _cc
-
-        jax.config.update("jax_enable_compilation_cache", self._saved)
-        _cc.reset_cache()
-        return False
+# HISTORY (rounds 1-4, resolved round 5): this module used to carry an
+# eager-execution fallback for tiny CPU shapes, a per-kernel
+# persistent-cache denylist, and a scoped cache-off context — all
+# treating symptoms of what looked like XLA:CPU compiler/serializer
+# bugs (segfaults in backend_compile / executable.serialize /
+# deserialize_executable; multi-minute "compiles"). The actual root
+# cause was the image's remote-TPU PJRT plugin, which sitecustomize
+# injects into every interpreter and whose background runtime
+# non-deterministically wedges (and evidently corrupts) XLA:CPU
+# execution — a plain device_get of jnp.ones().reshape() stalls
+# minutes/forever with the plugin present and takes ~3 s without it
+# (spartan_parallel_tpu/envfix.py). CPU runs now strip the plugin
+# (tests/conftest.py re-exec; dryrun/bench subprocess env), and all
+# three workarounds are gone: every kernel compiles and persists
+# normally on every backend.
 
 
 def _file_hash(path: str) -> str:
@@ -232,21 +141,12 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
         def wrapper(*args, **kwargs):
             statics = {k: kwargs.pop(k) for k in list(kwargs)
                        if k in static_argnames}
-            if (fn_name in _CPU_EAGER_TINY_KERNELS and _tiny_args(args)
-                    and jax.default_backend() == "cpu"
-                    and not _mesh_active()):
-                assert not kwargs, f"non-static kwargs unsupported: {kwargs}"
-                return _run_eager_ks(fn, args, statics)
+            backend = jax.default_backend()
             if _DISABLED:
                 jitted = jax.jit(functools.partial(fn, **statics),
                                  keep_unused=True)
-                if (fn_name in _NO_PERSIST_KERNELS
-                        and jax.default_backend() == "cpu"):
-                    with _no_persist_writes():
-                        return jitted(*args, **kwargs)
                 return jitted(*args, **kwargs)
             assert not kwargs, f"non-static kwargs unsupported: {kwargs}"
-            backend = jax.default_backend()
             if not src_hash_cell:
                 src_hash_cell.append(_src_hash(fn))
             # The carry implementation is env-selectable codegen
@@ -291,11 +191,6 @@ def cached_kernel(static_argnames: tuple = (), name: str | None = None):
                 call = jax.jit(exp.call)
                 with _LOCK:
                     _MEM[key] = call
-            # the serialize() crash is XLA:CPU-specific; on TPU the same
-            # executables persist fine (and remote recompiles are costly)
-            if fn_name in _NO_PERSIST_KERNELS and backend == "cpu":
-                with _no_persist_writes():
-                    return call(*args)
             return call(*args)
 
         wrapper.__wrapped_fn__ = fn

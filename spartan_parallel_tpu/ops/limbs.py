@@ -127,12 +127,30 @@ def _resolve_unit_carries(s):
 #     boolean ops, no sequential chain. The TPU-friendly form (the VPU hates
 #     32-deep dependent loops over tiny vectors).
 # Selected once per process from the active JAX backend; override via
-# SPARTAN_CARRY_IMPL={scan,ks} (tests exercise both).
+# SPARTAN_CARRY_IMPL={scan,ks} (tests exercise both), or scoped +
+# thread-safe via forced_carry_impl() (used by the kernel cache's eager
+# CPU fallback, which needs KS without touching process-global state).
+import contextlib as _contextlib
+import contextvars as _contextvars
 import os as _os
+
+_FORCED_CARRY: _contextvars.ContextVar = _contextvars.ContextVar(
+    "spartan_forced_carry", default=None)
+
+
+@_contextlib.contextmanager
+def forced_carry_impl(impl: str):
+    """Scoped override of the carry implementation for the current
+    (thread/task) context only."""
+    token = _FORCED_CARRY.set(impl)
+    try:
+        yield
+    finally:
+        _FORCED_CARRY.reset(token)
 
 
 def _carry_impl() -> str:
-    forced = _os.environ.get("SPARTAN_CARRY_IMPL")
+    forced = _FORCED_CARRY.get() or _os.environ.get("SPARTAN_CARRY_IMPL")
     if forced in ("scan", "ks"):
         return forced
     # scan on CPU (ks's unrolled graphs take minutes in the XLA:CPU

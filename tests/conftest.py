@@ -4,11 +4,37 @@ Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on the host platform with 8 virtual devices, exactly as the
 driver's dryrun does.
 
-Note: this image's sitecustomize registers an `axon` remote-TPU PJRT plugin
-and programmatically forces the platform, so setting the JAX_PLATFORMS env
-var is not enough — we must override jax.config after import."""
+ROUND-5 ROOT CAUSE: this image's sitecustomize loads a remote-TPU PJRT
+plugin (`axon`) into EVERY interpreter at startup. Its background
+runtime wedges XLA:CPU executions — measured on this host: a plain
+`np.asarray(jnp.ones((16,16)).reshape(4,64))` under JAX_PLATFORMS=cpu
+hangs for minutes or forever in ~2/3 of runs (0% CPU, lost wakeup), and
+completes in ~3 s with the plugin absent. That wedge — not compile cost
+— is what made the CPU test suite, the multichip dryrun, and every
+"cold prove" look minutes-to-hours slow in rounds 1-4 (e.g. a FULLY
+COLD poly-commit path runs in 3.2 s clean vs 360 s+ wedged).
+
+CPU test runs don't need the plugin, but it is injected before conftest
+runs, so the only reliable fix is to RE-EXEC the interpreter with the
+plugin's activation env stripped. SPARTAN_TEST_TPU runs keep the
+plugin — it IS the backend there.
+"""
 
 import os
+import sys
+
+if (not os.environ.get("SPARTAN_TEST_TPU")
+        and os.environ.get("PALLAS_AXON_POOL_IPS")
+        and not os.environ.get("SPARTAN_NO_REEXEC")):
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize keys on truthiness
+    env["SPARTAN_NO_REEXEC"] = "1"    # loop guard
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon_site" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 if os.environ.get("SPARTAN_TEST_TPU"):
     # on-chip run (VERDICT item: exercise the device test matrix on the
