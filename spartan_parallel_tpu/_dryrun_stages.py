@@ -1,0 +1,151 @@
+"""Multi-chip dryrun stages, runnable one-per-process.
+
+The driver validates the multi-chip path by calling
+`__graft_entry__.dryrun_multichip(n)` under a wall-clock timeout. Rounds
+3 and 4 both produced `ok=false, rc=124`: the budget check lived
+*between* stages, so a stage that started within budget could still run
+unbounded and the driver's outer timeout killed the whole run — erasing
+even the stages that had already passed. The fix (round-4 verdict item
+2): run each stage in its OWN subprocess with its OWN cap, enforced by
+the parent with `subprocess.run(timeout=...)`, cheapest stage first and
+the full SNARK last, and exit green with the completed stages as
+evidence when the budget dies.
+
+This module is the subprocess side: `python -m
+spartan_parallel_tpu._dryrun_stages <stage> <n_devices>` pins JAX to a
+virtual `n_devices`-device CPU platform (matching how the driver invokes
+the parent), runs ONE stage, and exits 0 on success.
+
+Stages (same bodies the monolithic dryrun ran through round 4):
+  1_sharded_round  one sharded sumcheck round (kernel-collective smoke)
+  4_dp_r1cs        data-parallel R1CSProof, P=4 skewed q-classes
+  2_nizk           NIZK prover sharded over a two-axis (host, chip) mesh
+  3_snark          the FULL 9-stage SNARK on the counter zkVM trace
+"""
+
+from __future__ import annotations
+
+
+def _make_meshes(n_devices: int):
+    from spartan_parallel_tpu.parallel.mesh import make_mesh, make_mesh2
+
+    # two-axis (host, chip) mesh when the device count splits
+    if n_devices >= 4 and n_devices % 2 == 0:
+        mesh = make_mesh2(2, n_devices // 2)
+    else:
+        mesh = make_mesh(n_devices)
+    return mesh
+
+
+def stage_1_sharded_round(n_devices: int) -> None:
+    """One sharded sumcheck round: psum over chips, eq-table fold."""
+    from spartan_parallel_tpu.parallel.mesh import dryrun_step, make_mesh
+
+    evals, _bound = dryrun_step(make_mesh(n_devices),
+                                P_i=2, Q=max(8, 2 * n_devices), X=8)
+    assert evals.shape == (3, 16)
+
+
+def stage_2_nizk(n_devices: int) -> None:
+    """NIZK prove+verify under the (host, chip) mesh: eq tables,
+    Az/Bz/Cz, phase-2 tables and the witness-commit MSM all carry
+    NamedSharding constraints (psum over chips/ICI then hosts/DCN)."""
+    from spartan_parallel_tpu.models.nizk import NIZK, NIZKGens
+    from spartan_parallel_tpu.models.r1csinstance import (
+        produce_synthetic_r1cs,
+    )
+    from spartan_parallel_tpu.parallel.context import prover_mesh
+    from spartan_parallel_tpu.utils.transcript import Transcript
+
+    mesh = _make_meshes(n_devices)
+    n = max(64, 8 * n_devices)
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        1, [1], n, n, 4, seed=2)
+    gens = NIZKGens(n, n)
+    with prover_mesh(mesh):
+        tp = Transcript(b"dryrun")
+        proof = NIZK.prove(inst, vars_mat[0][0], inputs_mat[0][0],
+                           gens, tp)
+    tv = Transcript(b"dryrun")
+    proof.verify(inst, inputs_mat[0][0], gens, tv)
+
+
+def stage_3_snark(n_devices: int) -> None:
+    """The flagship 9-stage SNARK pipeline (counter zkVM trace) under the
+    mesh, verified — the strongest multi-chip evidence, and the most
+    expensive stage, so it runs LAST with whatever budget remains."""
+    from spartan_parallel_tpu import examples as ex
+    from spartan_parallel_tpu.parallel.context import prover_mesh
+
+    mesh = _make_meshes(n_devices)
+    args, pa = ex.build_counter_program()
+    ctx = ex.setup_counter_instances(args)
+    with prover_mesh(mesh):
+        snark_proof = ex.prove_counter(pa, ctx, label=b"dryrun_snark")
+    ex.verify_counter(snark_proof, pa, ctx, label=b"dryrun_snark")
+
+
+def stage_4_dp_r1cs(n_devices: int) -> None:
+    """Data-parallel R1CSProof: P=4 instances, skewed execution counts
+    (the spartan_parallel shape, q-size classes) under the mesh."""
+    from spartan_parallel_tpu.models.r1csinstance import (
+        produce_synthetic_r1cs,
+    )
+    from spartan_parallel_tpu.models.r1csproof import (
+        ProverWitnessSecInfo,
+        R1CSGens,
+        R1CSProof,
+    )
+    from spartan_parallel_tpu.parallel.context import prover_mesh
+    from spartan_parallel_tpu.utils.random_tape import RandomTape
+    from spartan_parallel_tpu.utils.transcript import Transcript
+
+    mesh = _make_meshes(n_devices)
+    ncons = 32
+    num_proofs = [8, 2, 1, 1]
+    inst, vars_mat, inputs_mat = produce_synthetic_r1cs(
+        4, num_proofs, ncons, ncons, 4, seed=3)
+    nv = inst.get_num_vars() // 2
+    dp_gens = R1CSGens(b"gens_r1cs_sat", ncons, 8 * nv)
+    io_mat = [[[1] + list(io) + [0] * (nv - 1 - len(io))
+               for io in inputs_mat[p]] for p in range(4)]
+    vars_sec = ProverWitnessSecInfo.from_scalars([nv] * 4, vars_mat)
+    io_sec = ProverWitnessSecInfo.from_scalars([nv] * 4, io_mat)
+    with prover_mesh(mesh):
+        tp = Transcript(b"dryrun_dp")
+        tape = RandomTape(b"proof")
+        R1CSProof.prove(4, 8, num_proofs, nv, [nv] * 4,
+                        [vars_sec, io_sec], inst, dp_gens, tp, tape)
+
+
+STAGES = {
+    "1_sharded_round": stage_1_sharded_round,
+    "2_nizk": stage_2_nizk,
+    "3_snark": stage_3_snark,
+    "4_dp_r1cs": stage_4_dp_r1cs,
+}
+
+
+def _main() -> None:
+    import os
+    import sys
+
+    stage, n_devices = sys.argv[1], int(sys.argv[2])
+    # pin the virtual n-device CPU platform BEFORE jax import (the
+    # image's sitecustomize force-registers a remote-TPU plugin, so the
+    # config update after import is also required — see tests/conftest)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    STAGES[stage](n_devices)
+
+
+if __name__ == "__main__":
+    _main()
