@@ -34,6 +34,53 @@ import time
 
 _PEAK_CACHE: dict = {}
 
+_CENSUS: dict = {"events": 0, "total_s": 0.0, "by_key": {}}
+
+
+def _install_compile_census() -> None:
+    """Count XLA trace/lower/compile events and their wall time (round-4
+    verdict item 4: measure the cold-start compile budget per prove, so
+    'the compiles ate it' becomes a number instead of a guess)."""
+    try:
+        import jax.monitoring as m
+    except Exception:
+        return
+
+    def cb(event: str, duration: float, **kw) -> None:
+        if "compil" not in event and "lower" not in event \
+                and "trace" not in event:
+            return
+        _CENSUS["events"] += 1
+        _CENSUS["total_s"] += duration
+        k = event.strip("/").replace("/", ".")
+        e = _CENSUS["by_key"].setdefault(k, [0, 0.0])
+        e[0] += 1
+        e[1] += duration
+
+    m.register_event_duration_secs_listener(cb)
+
+
+def _print_compile_census() -> None:
+    if not _CENSUS["events"]:
+        return
+    print(json.dumps({
+        "aux": "compile_census", "events": _CENSUS["events"],
+        "total_s": round(_CENSUS["total_s"], 1),
+        "by_key": {k: [v[0], round(v[1], 1)]
+                   for k, v in sorted(_CENSUS["by_key"].items(),
+                                      key=lambda kv: -kv[1][1])},
+    }), file=sys.stderr, flush=True)
+
+
+def _heartbeat(name: str, **kw) -> None:
+    """Aux line BEFORE a long section starts: if the section later hangs
+    past the rung cap, the artifact still shows it began (round-4 lesson:
+    the NIZK rung produced zero bytes in 420 s — indistinguishable from
+    never starting)."""
+    rec = {"aux": name}
+    rec.update(kw)
+    print(json.dumps(rec), file=sys.stderr, flush=True)
+
 
 def measured_field_mul_peak() -> float:
     """Measured chip throughput of the Montgomery field-mul kernel itself
@@ -180,15 +227,17 @@ def bench_nizk(logn: int) -> None:
         return proof, time.perf_counter() - t0
 
     if not os.environ.get("BENCH_COLD"):
+        _heartbeat("nizk_cold_prove_starting", logn=logn)
         wproof, cold_s = prove_once()  # warm-up: compiles + cache loads
+        print(json.dumps({"aux": "nizk_cold_prove_s", "logn": logn,
+                          "value": round(cold_s, 3)}),
+              file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         wt = Transcript(b"nizk_bench")
         wproof.verify(inst, inputs_mat[0][0], gens, wt)
-        print(json.dumps({"aux": "nizk_cold_prove_s",
-                          "value": round(cold_s, 3),
-                          "cold_verify_s":
-                              round(time.perf_counter() - t0, 3)}),
-              file=sys.stderr)
+        print(json.dumps({"aux": "nizk_cold_verify_s",
+                          "value": round(time.perf_counter() - t0, 3)}),
+              file=sys.stderr, flush=True)
     proof, prove_s = prove_once()
     baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
     print(json.dumps({
@@ -266,9 +315,11 @@ def bench_snark(logn: int) -> None:
         return proof, time.perf_counter() - t0
 
     if not os.environ.get("BENCH_COLD"):
+        _heartbeat("snark_cold_prove_starting", logn=logn)
         _, cold_s = prove_once()
         print(json.dumps({"aux": "snark_cold_prove_s",
-                          "value": round(cold_s, 3)}), file=sys.stderr)
+                          "value": round(cold_s, 3)}),
+              file=sys.stderr, flush=True)
     proof, prove_s = prove_once()
     baseline_s = 39.130 * n / (1 << 20)  # README.md:155, linear scaling
     print(json.dumps({
@@ -349,9 +400,11 @@ def bench_dp(log_sigma_q: int) -> None:
         return out, time.perf_counter() - t0
 
     if not os.environ.get("BENCH_COLD"):
+        _heartbeat("dp_cold_prove_starting", log_sigma_q=log_sigma_q)
         _, cold_s = prove_once()
         print(json.dumps({"aux": "dp_cold_prove_s",
-                          "value": round(cold_s, 3)}), file=sys.stderr)
+                          "value": round(cold_s, 3)}),
+              file=sys.stderr, flush=True)
     (dp_proof, _), prove_s = prove_once()
     baseline_s = 4.442 * sigma_work / (1 << 20)
     print(json.dumps({
@@ -582,6 +635,11 @@ def bench_scaling(logn: int = 20) -> None:
         "value": round(effs[8], 3),
         "unit": "fraction",
         "vs_baseline": round(effs[8] / 0.75, 3),
+        # projected from same-chip slice timings of the sharded-MSM
+        # decomposition (one physical chip attached); the virtual-mesh
+        # subprocess above measures the collective/partition overhead of
+        # the actual sharded program at identical compute
+        "basis": "projected_from_chip_slice_timings",
     }))
 
 
@@ -614,9 +672,12 @@ def bench_findmin() -> None:
         return proof, time.perf_counter() - t0
 
     if not os.environ.get("BENCH_COLD"):
+        _heartbeat("findmin_cold_prove_starting", scale=scale,
+                   encode_s=round(encode_s, 3))
         _, cold_s = prove_once()
-        print(json.dumps({"aux": "findmin_cold_prove_s",
-                          "value": round(cold_s, 3)}), file=sys.stderr)
+        print(json.dumps({"aux": "findmin_cold_prove_s", "scale": scale,
+                          "value": round(cold_s, 3)}),
+              file=sys.stderr, flush=True)
     proof, prove_s = prove_once()
     # reference prove covers sigma_work = SUM_q ncons over the find_min
     # trace (9 blocks x 8192 cons, ~124 execs); scale linearly for
@@ -671,7 +732,19 @@ def main() -> None:
               file=sys.stderr)
         os.environ["BENCH_FORCE_CPU"] = "1"
     if os.environ.get("BENCH_FORCE_CPU"):
-        # debug/CI: virtual 8-device CPU mesh instead of the real chip
+        # debug/CI: virtual 8-device CPU mesh instead of the real chip.
+        # The image's remote-TPU PJRT plugin wedges XLA:CPU executions
+        # (spartan_parallel_tpu/envfix.py); it was injected at
+        # interpreter startup, so a CPU run must re-exec itself with the
+        # plugin's activation env stripped.
+        if (os.environ.get("PALLAS_AXON_POOL_IPS")
+                and not os.environ.get("SPARTAN_NO_REEXEC")):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from spartan_parallel_tpu.envfix import strip_axon_env
+
+            env = strip_axon_env(dict(os.environ))
+            env["SPARTAN_NO_REEXEC"] = "1"
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
@@ -700,16 +773,20 @@ def main() -> None:
     else:
         _ladder()
         return
+    _install_compile_census()
     trace_dir = os.environ.get("SPARTAN_TRACE")
-    if trace_dir:
-        # capture an XLA profiler trace of the whole section (view with
-        # tensorboard/xprof — the SURVEY §5 tracing facility)
-        import jax
+    try:
+        if trace_dir:
+            # capture an XLA profiler trace of the whole section (view
+            # with tensorboard/xprof — the SURVEY §5 tracing facility)
+            import jax
 
-        with jax.profiler.trace(trace_dir):
+            with jax.profiler.trace(trace_dir):
+                section()
+        else:
             section()
-    else:
-        section()
+    finally:
+        _print_compile_census()
 
 
 def _ladder() -> None:
@@ -732,20 +809,15 @@ def _ladder() -> None:
     total *= budget_scale
     t_start = time.perf_counter()
 
-    # (env_var, value, cap_s, headline_rank) — cheapest compile first.
+    # (env_var, value, cap_s, headline_rank) — round-4 lesson, inverted:
+    # the NEVER-YET-CAPTURED cheap metrics run first (NIZK 2^10 =
+    # BASELINE config 1, findmin at reduced scale, scaling, small MSM),
+    # and the compile-walled 2^14+ rungs get whatever budget remains.
     # rank orders the final re-print; the largest-rank landed metric ends
     # up last on stdout (= the driver's parsed headline number).
     rungs = [
-        ("BENCH_MSM_LOGN", "16", 420, 1),
-        ("BENCH_NIZK_LOGN", "14", 420, 2),
-        ("BENCH_MSM_LOGN", "20", 480, 3),
-        ("BENCH_DP_LOGN", "18", 480, 4),
-        ("BENCH_SNARK_LOGN", "16", 540, 5),
-        ("BENCH_DP_LOGN", "20", 540, 6),
-        # chunk step 2 halves the x/y-segment compile count (4 scans per
-        # segment instead of 7) for ~33% more sweep work — the right
-        # trade for a 600 s cold-compile window at 2^20
-        ("BENCH_NIZK_LOGN", "20", 600, 8, {"SPARTAN_CHUNK_STEP": "2"}),
+        ("BENCH_NIZK_LOGN", "10", 420, 4),
+        ("BENCH_FINDMIN", "1", 480, 5, {"BENCH_FINDMIN_SCALE": "8"}),
         # scaling efficiency is PROJECTED from chip slice timings (run on
         # the default backend: forcing it onto XLA:CPU collapsed eff
         # under per-dispatch overheads); the virtual-8-device mesh
@@ -753,8 +825,17 @@ def _ladder() -> None:
         # logn=20: through the remote relay every dispatch pays ~25 ms,
         # so slices below ~2^17 are latency- not compute-bound and the
         # projection collapses (measured eff(8)=0.001 at logn=16)
-        ("BENCH_SCALING", "1", 540, 0, {"BENCH_SCALING_LOGN": "20"}),
-        ("BENCH_FINDMIN", "1", 600, 7),
+        ("BENCH_SCALING", "1", 420, 0, {"BENCH_SCALING_LOGN": "20"}),
+        ("BENCH_MSM_LOGN", "16", 300, 1),
+        ("BENCH_MSM_LOGN", "20", 420, 2),
+        ("BENCH_NIZK_LOGN", "14", 420, 6),
+        ("BENCH_DP_LOGN", "18", 480, 3),
+        ("BENCH_SNARK_LOGN", "16", 540, 7),
+        # chunk step 2 halves the x/y-segment compile count (4 scans per
+        # segment instead of 7) for ~33% more sweep work — the right
+        # trade for a 600 s cold-compile window at 2^20
+        ("BENCH_NIZK_LOGN", "20", 600, 8, {"SPARTAN_CHUNK_STEP": "2"}),
+        ("BENCH_FINDMIN", "1", 600, 9),
     ]
     collected: list = []  # (rank, metric_line)
     for var, val, cap, rank, *extra in rungs:
@@ -793,8 +874,13 @@ def _ladder() -> None:
             if isinstance(rec, dict) and "metric" in rec:
                 collected.append((rank, line))
     # Final summary: all landed metrics, least headline-worthy first.
+    # "summary": true marks the re-prints so a consumer aggregating ALL
+    # metric lines can drop one copy (the live relay already printed
+    # each once).
     for _, line in sorted(collected, key=lambda t: t[0]):
-        print(line)
+        rec = json.loads(line)
+        rec["summary"] = True
+        print(json.dumps(rec))
     if not collected:
         print(json.dumps({"metric": "no_metric_landed", "value": 0,
                           "unit": "none", "vs_baseline": 0}))
