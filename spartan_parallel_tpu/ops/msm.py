@@ -45,6 +45,17 @@ WINDOW_BITS = 8
 NUM_WINDOWS = 32  # 256 bits / 8
 NUM_BUCKETS = 1 << WINDOW_BITS
 
+# Window width selection (round-5 roofline work): per window the kernel
+# pays one argsort + one ~2N-add prefix scan + ~3*2^wbits bucket-stage
+# adds. Doubling the window width HALVES the number of windows (16
+# instead of 32 sorts and scans — the dominant cost at large N) for
+# 256x the bucket-stage adds, which is the right trade once
+# N >= ~2^17. 16-bit windows also make digit extraction free: window w's
+# digit IS limb w of the canonical 16-bit-limb scalar. The bucket
+# tensor is B * 2^wbits points, so wide windows are gated on small B
+# (the flat MSM / tall-skinny Hyrax shapes; square batched commits at
+# B ~ sqrt(N) stay on 8-bit windows).
+
 
 def digits_from_limbs(limbs):
     """(..., 16) canonical 16-bit limbs -> (..., 32) 8-bit window digits."""
@@ -102,10 +113,10 @@ def _fold_sum(x, axis: int):
     return jax.lax.fori_loop(0, steps, body, x)[0]
 
 
-def _window_sum_flat(points, digits):
+def _window_sum_flat(points, digits, wbits: int = WINDOW_BITS):
     """One window, B MSM rows sharing the generator set.
 
-    digits (B, N); points (N, 4, 16) -> (B, 4, 16).
+    digits (B, N) in [0, 2^wbits); points (N, 4, 16) -> (B, 4, 16).
 
     All rows sort TOGETHER under the composite key (row << 8 | digit):
     one argsort + one two-level prefix point-scan over the flat B*N axis,
@@ -124,9 +135,10 @@ def _window_sum_flat(points, digits):
     (idx-1)//_CHUNK].
     """
     b, n = digits.shape
+    nbuckets = 1 << wbits
     total = b * n
     row_key = (jnp.arange(total, dtype=jnp.uint32) //
-               jnp.uint32(n)) << jnp.uint32(WINDOW_BITS)
+               jnp.uint32(n)) << jnp.uint32(wbits)
     key = row_key | digits.reshape(-1)
     order = jnp.argsort(key)
     ks = key[order]
@@ -156,15 +168,15 @@ def _window_sum_flat(points, digits):
     # bucket (b, v) = prefix(end) - prefix(start); row groups are
     # contiguous under the composite key so differences never span rows.
     starts = jnp.searchsorted(
-        ks, jnp.arange(b * NUM_BUCKETS, dtype=ks.dtype), side="left")
+        ks, jnp.arange(b * nbuckets, dtype=ks.dtype), side="left")
     ends = jnp.concatenate([starts[1:], jnp.full((1,), total,
                                                  starts.dtype)])
     buckets = curve.point_add(prefix_at(ends),
                               curve.point_neg(prefix_at(starts)))
-    buckets = buckets.reshape(b, NUM_BUCKETS, 4, 16)[:, 1:]  # v = 1..255
+    buckets = buckets.reshape(b, nbuckets, 4, 16)[:, 1:]  # v >= 1
     # weighted sum: reversed inclusive scan gives suffix sums S_v, and
-    # sum_{v=1}^{255} S_v = sum_v v*bucket_v; pad the 255 sums with one
-    # identity so the halving fold sees a power-of-2 axis
+    # sum_{v>=1} S_v = sum_v v*bucket_v; pad the 2^wbits - 1 sums with
+    # one identity so the halving fold sees a power-of-2 axis
     suffix = jnp.moveaxis(
         _hs_scan(jnp.moveaxis(buckets, 1, 0), reverse=True), 0, 1)
     suffix = jnp.concatenate(
@@ -173,29 +185,47 @@ def _window_sum_flat(points, digits):
     return _fold_sum(suffix, axis=1)  # (B, 4, 16)
 
 
-@cached_kernel()
-def _msm_sorted(points, limbs):
+@cached_kernel(static_argnames=("wbits",))
+def _msm_sorted(points, limbs, wbits: int = WINDOW_BITS):
     """points (N, 4, 16); limbs (B, N, 16) -> (B, 4, 16)."""
+    nwin = 256 // wbits
+
     def win_body(_, w):
-        limb_idx = w >> 1
-        shift = (w & 1) << 3
-        digits = (limbs[..., limb_idx] >> shift) & jnp.uint32(0xFF)  # (B,N)
-        win = _window_sum_flat(points, digits)
+        if wbits == 16:
+            digits = limbs[..., w]  # window w's digit IS limb w — (B,N)
+        else:
+            limb_idx = w >> 1
+            shift = (w & 1) << 3
+            digits = (limbs[..., limb_idx] >> shift) & jnp.uint32(0xFF)
+        win = _window_sum_flat(points, digits, wbits)
         return None, win  # (B, 4, 16)
 
     _, wins = jax.lax.scan(win_body, None,
-                           jnp.arange(NUM_WINDOWS, dtype=jnp.uint32))
+                           jnp.arange(nwin, dtype=jnp.uint32))
 
-    # Horner combine from the top window: acc = 256*acc + win[w]; the 8
-    # doublings run in a fori_loop (one point_double instantiation).
+    # Horner combine from the top window: acc = 2^wbits*acc + win[w];
+    # the doublings run in a fori_loop (one point_double instantiation).
     def comb_body(acc, win):
-        acc = jax.lax.fori_loop(0, WINDOW_BITS,
+        acc = jax.lax.fori_loop(0, wbits,
                                 lambda _, a: curve.point_double(a), acc)
         return curve.point_add(acc, win), None
 
-    acc, _ = jax.lax.scan(comb_body, wins[NUM_WINDOWS - 1],
-                          wins[: NUM_WINDOWS - 1], reverse=True)
+    acc, _ = jax.lax.scan(comb_body, wins[nwin - 1],
+                          wins[: nwin - 1], reverse=True)
     return acc
+
+
+def _pick_wbits(b: int, n: int) -> int:
+    """16-bit windows when the saved sorts/scans beat the extra bucket
+    work (adds: nwin*(2bn + 3b*2^wbits) crosses over at n ~ 2^17) and
+    the B*65536-point bucket tensor stays small; override with
+    SPARTAN_MSM_WBITS for tests."""
+    import os
+
+    forced = os.environ.get("SPARTAN_MSM_WBITS")
+    if forced in ("8", "16"):
+        return int(forced)
+    return 16 if (n >= (1 << 17) and b * 65536 <= (1 << 23)) else 8
 
 
 def msm_dev(points_dev, scalar_limbs):
@@ -208,7 +238,9 @@ def msm_dev(points_dev, scalar_limbs):
     scalar_limbs = jnp.asarray(scalar_limbs)
     if scalar_limbs.ndim == 2:
         scalar_limbs = scalar_limbs[None]
-    return _msm_sorted(jnp.asarray(points_dev), scalar_limbs)
+    b, n = scalar_limbs.shape[:2]
+    return _msm_sorted(jnp.asarray(points_dev), scalar_limbs,
+                       wbits=_pick_wbits(b, n))
 
 
 def msm(points_dev, scalar_limbs) -> list:

@@ -48,7 +48,10 @@ def _per_chip_fn(mesh: Mesh):
         in_specs=(P(ax), P(None, ax, None)),
         out_specs=P(ax))
     def per_chip(pts_local, limbs_local):
-        out = msm._msm_sorted.__wrapped_fn__(pts_local, limbs_local)
+        out = msm._msm_sorted.__wrapped_fn__(
+            pts_local, limbs_local,
+            wbits=msm._pick_wbits(limbs_local.shape[0],
+                                  limbs_local.shape[1]))
         return out[None]  # leading device axis
 
     return per_chip
