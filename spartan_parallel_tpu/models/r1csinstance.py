@@ -56,7 +56,7 @@ class SparseMatPolynomial:
     """COO sparse multilinear matrix polynomial (sparse_mlpoly.rs:33)."""
 
     __slots__ = ("num_vars_x", "num_vars_y", "rows", "cols", "vals",
-                 "_vals_mont", "_rows_dev", "_cols_dev")
+                 "_vals_mont", "_by_row", "_by_col")
 
     def __init__(self, num_vars_x: int, num_vars_y: int, entries):
         """entries: list of (row, col, value-int-or-Scalar)."""
@@ -75,27 +75,47 @@ class SparseMatPolynomial:
             assert int(np.bincount(self.cols).max()) <= spmv.MAX_ROW_NNZ, \
                 "col nnz exceeds lazy-limb scatter bound (ops/spmv.py)"
         self._vals_mont = None
-        self._rows_dev = None
-        self._cols_dev = None
+        self._by_row = None
+        self._by_col = None
 
     def get_num_nz_entries(self) -> int:
         return len(self.vals)
 
     def _dev(self):
+        """Device arrays in NATURAL entry order (sparse_eval)."""
         if self._vals_mont is None:
-            self._vals_mont = jnp.asarray(fq.encode(self.vals))
-            self._rows_dev = jnp.asarray(self.rows)
-            self._cols_dev = jnp.asarray(self.cols)
-        return self._rows_dev, self._cols_dev, self._vals_mont
+            self._vals_mont = (jnp.asarray(self.rows),
+                               jnp.asarray(self.cols),
+                               jnp.asarray(fq.encode(self.vals)))
+        return self._vals_mont
+
+    def _dev_sorted(self, by: str):
+        """Device arrays with entries pre-sorted by row ('row') or col
+        ('col') — the scatter-free SpMV kernels (ops/spmv.py) reduce
+        each output index as a cumsum difference over its contiguous
+        segment. The matrix is static, so the sort runs once on host."""
+        cache = self._by_row if by == "row" else self._by_col
+        if cache is None:
+            key = self.rows if by == "row" else self.cols
+            perm = np.argsort(key, kind="stable")
+            vm = fq.encode(self.vals)
+            cache = (jnp.asarray(self.rows[perm]),
+                     jnp.asarray(self.cols[perm]),
+                     jnp.asarray(vm[perm]))
+            if by == "row":
+                self._by_row = cache
+            else:
+                self._by_col = cache
+        return cache
 
     def multiply_vec_batched(self, z, num_rows: int):
         """z: (Q, ncols, 16) Montgomery -> (Q, num_rows, 16) Montgomery."""
-        r, c, v = self._dev()
+        r, c, v = self._dev_sorted("row")
         return spmv.spmv_batched(r, c, v, z, num_rows=num_rows)
 
     def eval_table(self, rx_tab, num_cols: int):
         """(num_cols, 16) table M^T eq(rx) (sparse_mlpoly.rs:505,524)."""
-        r, c, v = self._dev()
+        r, c, v = self._dev_sorted("col")
         return spmv.eval_table(r, c, v, rx_tab, num_cols=num_cols)
 
     def evaluate_with_tables_dev(self, rx_tab, ry_tab):

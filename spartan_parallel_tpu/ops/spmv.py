@@ -5,56 +5,81 @@ TPU-native counterpart of the reference's per-entry scalar loops
 compute_eval_table_sparse[_disjoint_rounds]). The COO entry list becomes
 three device arrays (rows, cols, vals); the fold-over-entries becomes
 
-    gather z[cols] -> Montgomery mul by vals -> scatter-add by rows
+    gather z[cols] -> Montgomery mul by vals -> segment-sum by rows
 
-where the scatter accumulates RAW uint32 limbs (each < 2^16, so up to 2^15
-addends cannot overflow) and a single carry+REDC pass (fq.resolve_lazy)
-restores Montgomery form — the lazy-carry trick that keeps the whole SpMV
-on the VPU with no per-row sequential chains.
+SCATTER-FREE (round 5): the accumulation used to be a scatter-add
+(`acc.at[rows].add(prod)`), which XLA:TPU serializes and whose XLA:CPU
+executables crashed the persistent-cache (de)serializer at some shapes
+(the round-3/4 `_NO_PERSIST_KERNELS` denylist). Same pattern as the MSM
+(ops/msm.py): the matrix is STATIC, so the caller pre-sorts the entries
+by output index once on the host, and the kernel reduces each segment
+as a difference of an inclusive cumsum — gathers only:
+
+    csum = cumsum(prod)                  # uint32, wraps mod 2^32
+    out[r] = csum[end_r] - csum[start_r] # exact: segment sum < 2^32
+
+Exactness: each product limb is < 2^16 and a row has at most
+MAX_ROW_NNZ = 2^15 entries, so the true per-segment sum is < 2^31;
+uint32 wraparound in the running cumsum cancels in the difference.
+A single carry+REDC pass (fq.resolve_lazy) then restores Montgomery
+form — the lazy-limb trick that keeps the whole SpMV on the VPU with no
+per-row sequential chains and no scatter.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 from . import fq
 from .kernel_cache import cached_kernel
 
-# Scatter-add limb accumulation bound: values < 2^16 each; uint32 holds
-# 2^16 of them. Matrices with a denser row would need splitting (not seen
-# in practice: R1CS rows have a handful of terms).
+# Lazy-limb accumulation bound: values < 2^16 each; the cumsum-difference
+# is exact for up to 2^16 addends per row/col. Matrices with a denser row
+# would need splitting (not seen in practice: R1CS rows have a handful of
+# terms).
 MAX_ROW_NNZ = 1 << 15
 
 
+def _segment_bounds(sorted_idx, num_segments: int):
+    """(num_segments+1,) boundaries b with segment s = [b[s], b[s+1])."""
+    return jnp.searchsorted(
+        sorted_idx,
+        jnp.arange(num_segments + 1, dtype=sorted_idx.dtype),
+        side="left")
+
+
 @cached_kernel(static_argnames=("num_rows",))
-def spmv_batched(rows, cols, vals, z, num_rows: int):
+def spmv_batched(rows_sorted, cols, vals, z, num_rows: int):
     """Batched sparse mat-vec: one matrix, many right-hand sides.
 
-    rows, cols: (nnz,) int32; vals: (nnz, 16) Montgomery;
+    rows_sorted: (nnz,) int32 ASCENDING (entries pre-sorted by row);
+    cols, vals: (nnz,)/(nnz, 16) in the same order;
     z: (Q, ncols, 16) Montgomery. Returns (Q, num_rows, 16) Montgomery.
     """
     q = z.shape[0]
     zg = jnp.take(z, cols, axis=1)  # (Q, nnz, 16)
     prod = fq.mul(jnp.broadcast_to(vals[None], zg.shape), zg)
-    acc = jnp.zeros((q, num_rows, 16), jnp.uint32)
-    acc = acc.at[:, rows].add(prod)
+    csum = jnp.cumsum(prod, axis=1, dtype=jnp.uint32)
+    csum = jnp.concatenate(
+        [jnp.zeros((q, 1, 16), jnp.uint32), csum], axis=1)
+    b = _segment_bounds(rows_sorted, num_rows)
+    acc = jnp.take(csum, b[1:], axis=1) - jnp.take(csum, b[:-1], axis=1)
     return fq.resolve_lazy(acc)
 
 
 @cached_kernel(static_argnames=("num_cols",))
-def eval_table(rows, cols, vals, rx_tab, num_cols: int):
+def eval_table(rows, cols_sorted, vals, rx_tab, num_cols: int):
     """M^T rx: out[col] = sum_{(r,c,v)} eq_rx[r] * v for c == col.
 
-    rx_tab: (num_rows, 16) Montgomery eq-table over natural row order.
-    Returns (num_cols, 16) Montgomery (natural col order).
+    Entries pre-sorted by col; rx_tab: (num_rows, 16) Montgomery
+    eq-table over natural row order. Returns (num_cols, 16) Montgomery.
     """
     g = jnp.take(rx_tab, rows, axis=0)  # (nnz, 16)
     prod = fq.mul(g, vals)
-    acc = jnp.zeros((num_cols, 16), jnp.uint32)
-    acc = acc.at[cols].add(prod)
+    csum = jnp.cumsum(prod, axis=0, dtype=jnp.uint32)
+    csum = jnp.concatenate([jnp.zeros((1, 16), jnp.uint32), csum], axis=0)
+    b = _segment_bounds(cols_sorted, num_cols)
+    acc = jnp.take(csum, b[1:], axis=0) - jnp.take(csum, b[:-1], axis=0)
     return fq.resolve_lazy(acc)
 
 

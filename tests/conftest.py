@@ -23,9 +23,27 @@ plugin — it IS the backend there.
 import os
 import sys
 
-if (not os.environ.get("SPARTAN_TEST_TPU")
-        and os.environ.get("PALLAS_AXON_POOL_IPS")
-        and not os.environ.get("SPARTAN_NO_REEXEC")):
+_NEEDS_REEXEC = (not os.environ.get("SPARTAN_TEST_TPU")
+                 and bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+                 and not os.environ.get("SPARTAN_NO_REEXEC"))
+
+
+def pytest_load_initial_conftests(early_config, parser, args):
+    # Runs right after this conftest is imported, before collection.
+    # Module-scope execve is too late in one way and too early in
+    # another: pytest's global fd-capture has ALREADY replaced fd 1/2
+    # with its temp files by the time any conftest loads, so a plain
+    # re-exec sends the whole child run's output into a dead capture
+    # file (observed: rc propagates, zero bytes of output). Stop global
+    # capturing first — that restores the real fds — then exec.
+    if not _NEEDS_REEXEC:
+        return
+    capman = early_config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.stop_global_capturing()
+        except Exception:
+            pass
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize keys on truthiness
     env["SPARTAN_NO_REEXEC"] = "1"    # loop guard
