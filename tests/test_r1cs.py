@@ -194,3 +194,42 @@ def test_nizk_rejects_tampered_proof():
     tv = Transcript(b"nizk_example")
     with pytest.raises((ProofVerifyError, AssertionError)):
         proof.verify(inst, inputs_mat[0][0], gens, tv)
+
+
+def test_spmv_segment_sum_matches_host_oracle():
+    """Scatter-free SpMV kernels (ops/spmv.py, round-5 rewrite): the
+    cumsum-difference segment sum must be bit-exact against host big-int
+    math, including empty rows/cols between segments."""
+    import jax.numpy as jnp
+
+    from spartan_parallel_tpu.models.r1csinstance import (
+        SparseMatPolynomial,
+    )
+    from spartan_parallel_tpu.ops import fq
+
+    def rnd():
+        return int.from_bytes(rng.bytes(40), "little") % L
+
+    entries = [(int(rng.integers(0, 8)), int(rng.integers(0, 8)), rnd())
+               for _ in range(20)]
+    m = SparseMatPolynomial(3, 3, entries)
+    q = 3
+    zs = [[rnd() for _ in range(8)] for _ in range(q)]
+    z = jnp.asarray(fq.encode([x for row in zs for x in row])
+                    ).reshape(q, 8, 16)
+    out = fq.decode(np.asarray(m.multiply_vec_batched(z, 8)
+                               ).reshape(-1, 16))
+    want = []
+    for qq in range(q):
+        acc = [0] * 8
+        for (r, c, v) in entries:
+            acc[r] = (acc[r] + v * zs[qq][c]) % L
+        want += acc
+    assert list(out) == want
+
+    rx = [rnd() for _ in range(8)]
+    et = fq.decode(np.asarray(m.eval_table(jnp.asarray(fq.encode(rx)), 8)))
+    wt = [0] * 8
+    for (r, c, v) in entries:
+        wt[c] = (wt[c] + rx[r] * v) % L
+    assert list(et) == wt
