@@ -98,8 +98,14 @@ def measured_field_mul_peak() -> float:
 
     # Enough muls per dispatch that compute (not the ~25 ms remote-relay
     # dispatch latency) dominates: 2^19 * 96 = 50M muls ~ tens of ms.
-    n = 1 << 19
-    reps_inner = 96
+    # XLA:CPU runs ~1-5 Mmul/s on this 1-core host, so the same chain
+    # would take minutes there (it ate the 2^14 NIZK rung's budget after
+    # the metric landed); 2^15 * 32 = 1M muls is plenty to saturate one
+    # core.
+    if jax.default_backend() == "cpu":
+        n, reps_inner = 1 << 15, 32
+    else:
+        n, reps_inner = 1 << 19, 96
     rng = np.random.default_rng(7)
     vals = [int.from_bytes(rng.bytes(40), "little") % L for _ in range(256)]
     a = jnp.asarray(np.tile(fq.encode(vals), (n // 256, 1)))
@@ -128,6 +134,12 @@ def measured_field_mul_peak() -> float:
     }), file=sys.stderr)
     return peak
 
+
+
+def _backend() -> str:
+    import jax
+
+    return jax.default_backend()
 
 def bench_msm(logn: int) -> None:
     import jax
@@ -185,6 +197,7 @@ def bench_msm(logn: int) -> None:
     # chain, which on a cold remote compiler can outlive the rung budget
     print(json.dumps({
         "metric": f"msm_points_per_s_2^{logn}",
+        "backend": _backend(),
         "value": round(pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / baseline, 3),
@@ -242,6 +255,7 @@ def bench_nizk(logn: int) -> None:
     baseline_s = 4.514 * n / (1 << 20)  # README.md:192, linear scaling
     print(json.dumps({
         "metric": f"nizk_prove_2^{logn}",
+        "backend": _backend(),
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / prove_s, 3),
@@ -324,6 +338,7 @@ def bench_snark(logn: int) -> None:
     baseline_s = 39.130 * n / (1 << 20)  # README.md:155, linear scaling
     print(json.dumps({
         "metric": f"snark_prove_2^{logn}",
+        "backend": _backend(),
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / prove_s, 3),
@@ -409,6 +424,7 @@ def bench_dp(log_sigma_q: int) -> None:
     baseline_s = 4.442 * sigma_work / (1 << 20)
     print(json.dumps({
         "metric": f"dp_r1cs_prove_sigma_work_2^{log_sigma_q}",
+        "backend": _backend(),
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / prove_s, 3),
@@ -632,6 +648,7 @@ def bench_scaling(logn: int = 20) -> None:
 
     print(json.dumps({
         "metric": f"scaling_efficiency_8dev_2^{logn}",
+        "backend": _backend(),
         "value": round(effs[8], 3),
         "unit": "fraction",
         "vs_baseline": round(effs[8] / 0.75, 3),
@@ -687,6 +704,7 @@ def bench_findmin() -> None:
     baseline_s = 67.508 * work / ref_work
     print(json.dumps({
         "metric": f"findmin_shaped_snark_prove_work_{work}",
+        "backend": _backend(),
         "value": round(prove_s, 3),
         "unit": "s",
         "vs_baseline": round(baseline_s / prove_s, 3),
@@ -702,6 +720,25 @@ def bench_findmin() -> None:
         "proof_compressed_bytes": ser.compressed_size(proof, "SNARK"),
         "ncons": ncons, "num_execs": execs,
     }), file=sys.stderr)
+
+
+def _is_remote_relay_backend() -> bool:
+    """True when the default backend is the image's remote-TPU relay
+    (axon PJRT plugin). Its compile helper takes 5-20+ minutes per
+    kernel graph (measured: the NIZK 2^10 kernel set landed ZERO
+    compiles in 420 s through the relay, vs a 116 s fully-cold prove on
+    clean XLA:CPU), so cold end-to-end rungs can never fit a bench
+    budget there. A locally-attached TPU would not take this path."""
+    return os.environ.get("JAX_PLATFORMS", "").startswith("axon")
+
+
+def _filter_stderr(text: str) -> str:
+    """Drop the cpu_aot_loader feature-list spam (hundreds of lines of
+    benign +prefer-no-gather/-scatter warnings per persistent-cache
+    reload) so aux/metric lines survive in bounded artifact tails."""
+    return "".join(
+        ln for ln in text.splitlines(keepends=True)
+        if "cpu_aot_loader" not in ln and "Machine type used" not in ln)
 
 
 def _tpu_relay_alive() -> bool:
@@ -815,9 +852,18 @@ def _ladder() -> None:
     # and the compile-walled 2^14+ rungs get whatever budget remains.
     # rank orders the final re-print; the largest-rank landed metric ends
     # up last on stdout (= the driver's parsed headline number).
+    # End-to-end rungs (NIZK/DP/SNARK/findmin) run on clean XLA:CPU when
+    # the chip is only reachable through the remote compile relay: the
+    # relay cannot cold-compile the e2e kernel set inside any rung cap
+    # (round 4: three rungs, 1440 s, zero output; round 5 measured: zero
+    # kernels compiled in 420 s), while clean CPU cold-proves NIZK 2^10
+    # in 116 s. Each metric line carries its backend. MSM/scaling rungs
+    # stay on the chip — their kernel graphs are known to fit the relay.
+    e2e_cpu = {"BENCH_FORCE_CPU": "1"} if _is_remote_relay_backend() else {}
     rungs = [
-        ("BENCH_NIZK_LOGN", "10", 420, 4),
-        ("BENCH_FINDMIN", "1", 480, 5, {"BENCH_FINDMIN_SCALE": "8"}),
+        ("BENCH_NIZK_LOGN", "10", 420, 4, e2e_cpu),
+        ("BENCH_FINDMIN", "1", 480, 5,
+         {"BENCH_FINDMIN_SCALE": "8", **e2e_cpu}),
         # scaling efficiency is PROJECTED from chip slice timings (run on
         # the default backend: forcing it onto XLA:CPU collapsed eff
         # under per-dispatch overheads); the virtual-8-device mesh
@@ -828,14 +874,15 @@ def _ladder() -> None:
         ("BENCH_SCALING", "1", 420, 0, {"BENCH_SCALING_LOGN": "20"}),
         ("BENCH_MSM_LOGN", "16", 300, 1),
         ("BENCH_MSM_LOGN", "20", 420, 2),
-        ("BENCH_NIZK_LOGN", "14", 420, 6),
-        ("BENCH_DP_LOGN", "18", 480, 3),
-        ("BENCH_SNARK_LOGN", "16", 540, 7),
+        ("BENCH_NIZK_LOGN", "14", 420, 6, e2e_cpu),
+        ("BENCH_DP_LOGN", "18", 480, 3, e2e_cpu),
+        ("BENCH_SNARK_LOGN", "16", 540, 7, e2e_cpu),
         # chunk step 2 halves the x/y-segment compile count (4 scans per
         # segment instead of 7) for ~33% more sweep work — the right
         # trade for a 600 s cold-compile window at 2^20
-        ("BENCH_NIZK_LOGN", "20", 600, 8, {"SPARTAN_CHUNK_STEP": "2"}),
-        ("BENCH_FINDMIN", "1", 600, 9),
+        ("BENCH_NIZK_LOGN", "20", 600, 8,
+         {"SPARTAN_CHUNK_STEP": "2", **e2e_cpu}),
+        ("BENCH_FINDMIN", "1", 600, 9, e2e_cpu),
     ]
     collected: list = []  # (rank, metric_line)
     for var, val, cap, rank, *extra in rungs:
@@ -855,12 +902,13 @@ def _ladder() -> None:
                 timeout=min(cap * budget_scale, remaining),
                 capture_output=True, text=True)
             out = r.stdout or ""
-            sys.stderr.write(r.stderr or "")
+            sys.stderr.write(_filter_stderr(r.stderr or ""))
         except subprocess.TimeoutExpired as e:
             out = (e.stdout or b"")
             out = out.decode() if isinstance(out, bytes) else out
             err = (e.stderr or b"")
-            sys.stderr.write(err.decode() if isinstance(err, bytes) else err)
+            sys.stderr.write(_filter_stderr(
+                err.decode() if isinstance(err, bytes) else err))
             print(json.dumps({"aux": "bench_section_timeout",
                               "section": f"{var}={val}", "cap_s": cap}),
                   file=sys.stderr)
