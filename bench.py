@@ -861,9 +861,18 @@ def _ladder() -> None:
     # stay on the chip — their kernel graphs are known to fit the relay.
     e2e_cpu = {"BENCH_FORCE_CPU": "1"} if _is_remote_relay_backend() else {}
     rungs = [
+        # Round-5 validated-on-this-image rungs first (measured: NIZK
+        # 2^10 lands in <120 s warm-cache, findmin scale-8 in ~300 s,
+        # NIZK 2^14 in ~60 s), so three e2e metrics are banked before
+        # the relay-dependent TPU rungs spend anything: through the
+        # remote compile relay a cold kernel set can eat a whole cap
+        # producing nothing (round-5 measured: zero NIZK kernels in
+        # 420 s; round 4: three rungs, 1440 s, zero output).
         ("BENCH_NIZK_LOGN", "10", 420, 4, e2e_cpu),
         ("BENCH_FINDMIN", "1", 480, 5,
          {"BENCH_FINDMIN_SCALE": "8", **e2e_cpu}),
+        ("BENCH_NIZK_LOGN", "14", 420, 6, e2e_cpu),
+        ("BENCH_MSM_LOGN", "16", 300, 1),
         # scaling efficiency is PROJECTED from chip slice timings (run on
         # the default backend: forcing it onto XLA:CPU collapsed eff
         # under per-dispatch overheads); the virtual-8-device mesh
@@ -872,9 +881,7 @@ def _ladder() -> None:
         # so slices below ~2^17 are latency- not compute-bound and the
         # projection collapses (measured eff(8)=0.001 at logn=16)
         ("BENCH_SCALING", "1", 420, 0, {"BENCH_SCALING_LOGN": "20"}),
-        ("BENCH_MSM_LOGN", "16", 300, 1),
         ("BENCH_MSM_LOGN", "20", 420, 2),
-        ("BENCH_NIZK_LOGN", "14", 420, 6, e2e_cpu),
         ("BENCH_DP_LOGN", "18", 480, 3, e2e_cpu),
         ("BENCH_SNARK_LOGN", "16", 540, 7, e2e_cpu),
         # chunk step 2 halves the x/y-segment compile count (4 scans per

@@ -76,3 +76,37 @@ else:
 # +prefer-no-gather/-scatter AOT reload warnings are XLA tuning
 # pseudo-features, benign on the same machine — verified by a two-run
 # bit-identical check). It cuts the suite's dominant cost: XLA compiles.
+
+# ---------------------------------------------------------------------
+# Default-suite bound (round-4 verdict item 7): the end-to-end modules
+# below each spend minutes in XLA compiles/execution on a 1-core host
+# (measured round 5: the full suite exceeded 25 min still inside
+# test_driver), so the DEFAULT run keeps the host-math/protocol/kernel
+# modules plus ONE full-SNARK e2e (test_snark: counter zkVM at tiny
+# shapes) and gates the rest behind SPARTAN_SLOW_TESTS=1. The gated
+# modules are exactly the slow e2e/sharding surfaces the multichip
+# dryrun and the bench ladder exercise through the driver's own
+# artifacts every round.
+_SLOW_MODULES = {
+    "test_driver.py",      # .ctk/.rtk decode + counter & counter_mem SNARKs
+    "test_examples.py",    # synthetic-zkVM SNARK + tamper matrix
+    "test_snark_mem.py",   # memory-coherence SNARK + tamper matrix
+    "test_snark_single.py",  # upstream-style SNARK+SPARK
+    "test_sharding.py",    # 8-device mesh bit-exactness (DP + full SNARK)
+    "test_zk_round.py",    # device-round scan bit-exactness proves
+    "test_msm_sharded.py",  # sharded Pippenger vs single-device
+    "test_spark.py",       # SPARK offline memory checking e2e
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if os.environ.get("SPARTAN_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow e2e module; set SPARTAN_SLOW_TESTS=1 (default suite "
+               "stays under the CI budget on a 1-core host)")
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(skip)
